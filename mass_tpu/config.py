@@ -1,0 +1,135 @@
+"""Centralized, typed configuration for the framework.
+
+The reference scatters ~25 argparse flags across scripts with diverging
+defaults (reference: agent.py:786-861, get_search_labels.py:232-235).
+Here every tunable lives in one frozen dataclass hierarchy; the CLI layer
+parses flags into these objects.  All classes are hashable so they can be
+used as static arguments to `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera intrinsics for the agent's RGB-D sensor.
+
+    Mirrors the reference's camera setup (reference:
+    mass/nn/base_projection_layer.py:149-154) where the focal length is
+    derived from the vertical field of view and the image height, and the
+    same focal length is used for both axes.
+    """
+
+    height: int = 224
+    width: int = 224
+    vertical_fov_degrees: float = 90.0
+
+    @property
+    def focal_length(self) -> float:
+        return self.height / 2.0 / math.tan(
+            math.radians(self.vertical_fov_degrees) / 2.0)
+
+    def downsample(self, factor: int) -> "CameraConfig":
+        """Camera for a feature grid at 1/factor resolution (e.g. a conv
+        backbone's stride-4 feature map, reference:
+        mass/nn/applications/resnet_projection_layer.py:121-123)."""
+        return dataclasses.replace(
+            self, height=self.height // factor, width=self.width // factor)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapGeometry:
+    """Static shape/scale description of a voxel feature map.
+
+    ``data`` tensors built from this geometry are laid out
+    ``[map_height, map_width, map_depth, feature_size]`` where map_height
+    indexes world y (top-down row, flipped), map_width indexes world x and
+    map_depth indexes world z (up).  (reference:
+    mass/nn/base_projection_layer.py:156-181)
+    """
+
+    map_height: int = 384
+    map_width: int = 384
+    map_depth: int = 96
+    feature_size: int = 1
+    grid_resolution: float = 0.05
+    interpolation_weight: float = 0.5
+
+    @property
+    def num_voxels(self) -> int:
+        return self.map_height * self.map_width * self.map_depth
+
+    @property
+    def world_extent(self) -> Tuple[float, float, float]:
+        return (self.map_width * self.grid_resolution,
+                self.map_height * self.grid_resolution,
+                self.map_depth * self.grid_resolution)
+
+
+@dataclasses.dataclass(frozen=True)
+class NavConfig:
+    """Navigation / path-planning parameters (reference:
+    mass/navigation_policy.py:26-73, agent.py:841-844)."""
+
+    step_size: int = 5
+    obstacle_padding: int = 1
+    obstacle_threshold: float = 0.0
+    map_slice_start: int = 20
+    map_slice_stop: int = 48
+    position_noise_std: float = 0.0
+    rotation_noise_std: float = 0.0
+    graph_update_interval: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Instance detection + cross-phase matching parameters (reference:
+    agent.py:846-856)."""
+
+    confidence_threshold: float = 0.0
+    contour_padding: int = 0
+    contour_threshold: float = 0.0
+    distance_threshold: float = 0.05
+    deformation_threshold: float = 0.0
+    max_instances: int = 16  # static cap on instances per class on-device
+
+
+@dataclasses.dataclass(frozen=True)
+class AgentConfig:
+    """Top-level episode-driver configuration (reference: agent.py:786-861)."""
+
+    camera: CameraConfig = CameraConfig()
+    map_height: int = 384
+    map_width: int = 384
+    map_depth: int = 96
+    grid_resolution: float = 0.05
+    nav: NavConfig = NavConfig()
+    match: MatchConfig = MatchConfig()
+
+    exploration_budget_one: int = 5
+    exploration_budget_two: int = 5
+    detection_threshold: float = 0.9
+
+    ground_truth_segmentation: bool = False
+    ground_truth_disagreement: bool = False
+    ground_truth_semantic_search: bool = False
+    semantic_search_walkthrough: bool = False
+    semantic_search_unshuffle: bool = False
+    use_feature_matching: bool = False
+    record_found_objects: bool = False
+
+    logdir: Optional[str] = None
+    stage: str = "train"
+    start_task: int = 0
+    every_tasks: int = 1
+    total_tasks: int = 50
+
+    def geometry(self, feature_size: int = 1) -> MapGeometry:
+        return MapGeometry(
+            map_height=self.map_height, map_width=self.map_width,
+            map_depth=self.map_depth, feature_size=feature_size,
+            grid_resolution=self.grid_resolution)
