@@ -1,0 +1,107 @@
+"""Headline benchmark: RGB-D frame -> semantic voxel-map update throughput.
+
+Measures the framework's jitted semantic mapping step (224x224 RGB-D +
+segmentation -> one-hot -> trilinear scatter into a 384x384x96x54 grid,
+the per-step hot path of the agent loop, SURVEY.md §3.2) on the current
+JAX default device, against the reference pipeline's torch-CPU
+throughput (benchmarks/torch_baseline.py — the reference ships
+CUDA/torch code with no published numbers, so the baseline is measured,
+see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+
+CAMERA = 224
+MAP_H, MAP_W, MAP_D, NUM_CLASSES = 384, 384, 96, 54
+FRAMES = int(os.environ.get("BENCH_FRAMES", "30"))
+BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "3"))
+
+
+def measure_tpu():
+    import jax
+    import jax.numpy as jnp
+    from mass_tpu.config import CameraConfig, MapGeometry
+    from mass_tpu.core import geometry as G
+    from mass_tpu.core.voxelmap import VoxelMap
+
+    cam = CameraConfig(height=CAMERA, width=CAMERA)
+    geo = MapGeometry(map_height=MAP_H, map_width=MAP_W, map_depth=MAP_D,
+                      feature_size=NUM_CLASSES)
+    rays = G.camera_rays(cam.height, cam.width,
+                        cam.focal_length, cam.focal_length)
+
+    # one dispatch scans a whole frame chunk: the agent's sequential EMA
+    # semantics (scan carry) without per-frame host round-trips
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_chunk(vm, positions, yaws, elevations, depths, semantics):
+        def body(m, frame):
+            p, y, e, d, s = frame
+            return m.update_classes(rays, p, y, e, d, s), None
+        vm, _ = jax.lax.scan(
+            body, vm, (positions, yaws, elevations, depths, semantics))
+        return vm
+
+    rng = np.random.RandomState(0)
+
+    def chunk(k):
+        return (jnp.asarray(rng.uniform(-1, 1, (k, 3)).astype(np.float32)),
+                jnp.asarray(rng.uniform(
+                    -np.pi, np.pi, k).astype(np.float32)),
+                jnp.asarray(rng.uniform(-0.6, 0.0, k).astype(np.float32)),
+                jnp.asarray(rng.uniform(
+                    0.3, 4.0, (k, CAMERA, CAMERA, 1)).astype(np.float32)),
+                jnp.asarray(rng.randint(
+                    0, NUM_CLASSES, (k, CAMERA, CAMERA)).astype(np.int32)))
+
+    vm = VoxelMap.create(geo, (0.0, 0.0, 0.0))
+    vm = run_chunk(vm, *chunk(FRAMES))      # warmup / compile
+    float(vm.data.reshape(-1)[0])            # force full sync
+
+    frames = chunk(FRAMES)
+    t0 = time.perf_counter()
+    vm = run_chunk(vm, *frames)
+    float(vm.data.reshape(-1)[0])
+    dt = time.perf_counter() - t0
+    return FRAMES / dt
+
+
+def measure_torch_cpu():
+    import torch
+    from benchmarks import torch_baseline as tb
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    state = tb.make_state(MAP_H, MAP_W, MAP_D, NUM_CLASSES,
+                          camera=CAMERA)
+    rng = np.random.RandomState(0)
+    frames = [tb.random_frame(rng, CAMERA, NUM_CLASSES)
+              for _ in range(BASELINE_FRAMES + 1)]
+    tb.update(state, *frames[0])  # warmup / allocations
+    t0 = time.perf_counter()
+    for f in frames[1:]:
+        tb.update(state, *f)
+    dt = time.perf_counter() - t0
+    return BASELINE_FRAMES / dt
+
+
+def main():
+    tpu_fps = measure_tpu()
+    cpu_fps = measure_torch_cpu()
+    print(json.dumps({
+        "metric": "semantic voxel-map update throughput "
+                  "(224x224 RGB-D -> 384x384x96x54)",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

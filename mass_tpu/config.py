@@ -58,6 +58,10 @@ class MapGeometry:
     feature_size: int = 1
     grid_resolution: float = 0.05
     interpolation_weight: float = 0.5
+    # storage layout: "auto" picks channel-major flat for small feature
+    # dims (zero lane padding, scalar scatters) and voxel-major [V, F]
+    # for lane-aligned dense-feature maps; see core/voxelmap.py
+    layout: str = "auto"
 
     @property
     def num_voxels(self) -> int:

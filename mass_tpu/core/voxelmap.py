@@ -7,9 +7,19 @@ pipeline jits, scans over frame sequences, vmaps over episode batches, and
 shards over device meshes.  Shape/scale metadata (`MapGeometry`) rides
 along as static aux data, so jitted functions specialize per geometry.
 
-Data layout: ``data[row, col, depth, feature]`` with ``row`` = flipped
-world y, ``col`` = world x, ``depth`` = world z (up) — identical to the
-reference's map convention so coordinate semantics match exactly.
+Storage is layout-conscious (the part that matters on TPU — see
+ops/scatter.py):
+
+  * ``cmajor`` (one-hot maps: occupancy F=1, semantic F=54): a flat
+    ``[F * V]`` buffer, element ``c * V + v`` — zero lane padding (a
+    naive ``[..., F]`` layout pads F -> 128 lanes: 2.4x memory at F=54,
+    128x at F=1) and scalar-only scatters.
+  * ``vmajor`` (dense-feature maps, F a multiple of 128): ``[V, F]`` —
+    lane-aligned rows.
+
+Logical indexing everywhere remains the reference's
+``grid[row, col, depth, feature]`` with ``row`` = flipped world y
+(``grid()`` materializes it), so coordinate semantics match exactly.
 """
 
 from __future__ import annotations
@@ -22,7 +32,14 @@ import jax.numpy as jnp
 
 from mass_tpu.config import MapGeometry
 from mass_tpu.core import geometry as G
-from mass_tpu.ops.scatter import trilinear_scatter_update
+from mass_tpu.ops import scatter as S
+
+
+def _resolved_layout(g: MapGeometry) -> str:
+    layout = getattr(g, "layout", "auto")
+    if layout == "auto":
+        return "vmajor" if g.feature_size % 128 == 0 else "cmajor"
+    return layout
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,7 +51,7 @@ class VoxelMap:
     mass/nn/base_projection_layer.py:162-235).
     """
 
-    data: jax.Array    # [H, W, D, F]
+    data: jax.Array    # [F*V] (cmajor) or [V, F] (vmajor)
     bins_x: jax.Array  # [W + 1]
     bins_y: jax.Array  # [H + 1]
     bins_z: jax.Array  # [D + 1]
@@ -44,16 +61,23 @@ class VoxelMap:
     # construction
     # ------------------------------------------------------------------
 
+    @property
+    def layout(self) -> str:
+        return _resolved_layout(self.geometry)
+
     @staticmethod
     def create(geometry: MapGeometry,
                origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
                dtype=jnp.float32) -> "VoxelMap":
         """Fresh zeroed map centred on ``origin`` = (x, y, z) world."""
         g = geometry
-        ox, oy, oz = (jnp.asarray(v, jnp.float32) for v in origin)
+        v = g.num_voxels
+        shape = ((g.feature_size * v,)
+                 if _resolved_layout(g) == "cmajor"
+                 else (v, g.feature_size))
+        ox, oy, oz = (jnp.asarray(v_, jnp.float32) for v_ in origin)
         return VoxelMap(
-            data=jnp.zeros((g.map_height, g.map_width,
-                            g.map_depth, g.feature_size), dtype),
+            data=jnp.zeros(shape, dtype),
             bins_x=G.uniform_bins(ox, g.map_width, g.grid_resolution),
             bins_y=G.uniform_bins(oy, g.map_height, g.grid_resolution),
             bins_z=G.uniform_bins(oz, g.map_depth, g.grid_resolution),
@@ -74,15 +98,68 @@ class VoxelMap:
                                   g.grid_resolution),
             geometry=g)
 
+    def grid(self) -> jax.Array:
+        """Materialize the logical ``[H, W, D, F]`` grid (a relayout for
+        cmajor storage — cheap relative to how rarely full-grid reads
+        happen: visualization, map differencing)."""
+        g = self.geometry
+        if self.layout == "cmajor":
+            return self.data.reshape(
+                g.feature_size, g.map_height, g.map_width,
+                g.map_depth).transpose(1, 2, 3, 0)
+        return self.data.reshape(g.map_height, g.map_width, g.map_depth,
+                                 g.feature_size)
+
+    def with_grid(self, grid: jax.Array) -> "VoxelMap":
+        """Inverse of :meth:`grid` — pack a logical grid into storage."""
+        g = self.geometry
+        if self.layout == "cmajor":
+            data = grid.transpose(3, 0, 1, 2).reshape(-1)
+        else:
+            data = grid.reshape(g.num_voxels, g.feature_size)
+        return dataclasses.replace(self, data=data)
+
     # ------------------------------------------------------------------
     # the hot path
     # ------------------------------------------------------------------
+
+    def _bin(self, rays, position, yaw, elevation, depth,
+             min_ray_depth, max_ray_depth):
+        oriented = G.orient_rays(rays, yaw, elevation)
+        return G.bin_rays(self.bins_x, self.bins_y, self.bins_z,
+                          position, oriented, depth,
+                          min_ray_depth=min_ray_depth,
+                          max_ray_depth=max_ray_depth)
+
+    def update_classes(self, rays: jax.Array, position: jax.Array,
+                       yaw: jax.Array, elevation: jax.Array,
+                       depth: jax.Array, classes: jax.Array,
+                       min_ray_depth: float = 0.0,
+                       max_ray_depth: float = 10.0) -> "VoxelMap":
+        """One-hot fast path: project an ``[h, w]`` integer class image
+        (implicit ``one_hot(classes, F)`` features).  The per-step hot
+        update for occupancy (classes == 0, F == 1) and semantic maps
+        (reference: mass/nn/applications/semantic_projection_layer.py:
+        203-214 materializes the one-hot; here it stays implicit so the
+        additive scatter is scalar)."""
+        assert self.layout == "cmajor", "class updates need cmajor maps"
+        g = self.geometry
+        h, w = rays.shape[0], rays.shape[1]
+        classes = G.upsample_features(classes[..., None], h, w)[..., 0]
+        points = self._bin(rays, position, yaw, elevation, depth,
+                           min_ray_depth, max_ray_depth)
+        ids, weights = S.corner_contributions(
+            points, (g.map_height, g.map_width, g.map_depth))
+        data = S.apply_onehot_flat(
+            self.data, ids, weights, classes.reshape(-1), g.num_voxels,
+            g.feature_size, g.interpolation_weight)
+        return dataclasses.replace(self, data=data)
 
     def update(self, rays: jax.Array, position: jax.Array, yaw: jax.Array,
                elevation: jax.Array, depth: jax.Array,
                features: jax.Array, min_ray_depth: float = 0.0,
                max_ray_depth: float = 10.0) -> "VoxelMap":
-        """Project one RGB-D frame's features into the grid.
+        """Project one frame of dense per-pixel features.
 
         Composes orient → bin → trilinear scatter into one jittable step
         (reference: mass/nn/base_projection_layer.py:282-343).
@@ -96,40 +173,83 @@ class VoxelMap:
           features: ``[fh, fw, F]`` feature image; integer-upsampled to
             the ray grid if smaller.
         """
+        g = self.geometry
         h, w = rays.shape[0], rays.shape[1]
         features = G.upsample_features(features, h, w)
-        oriented = G.orient_rays(rays, yaw, elevation)
-        points = G.bin_rays(self.bins_x, self.bins_y, self.bins_z,
-                            position, oriented, depth,
-                            min_ray_depth=min_ray_depth,
-                            max_ray_depth=max_ray_depth)
-        data = trilinear_scatter_update(
-            self.data, points, features,
-            self.geometry.interpolation_weight)
+        points = self._bin(rays, position, yaw, elevation, depth,
+                           min_ray_depth, max_ray_depth)
+        ids, weights = S.corner_contributions(
+            points, (g.map_height, g.map_width, g.map_depth))
+        feats = features.reshape(-1, g.feature_size)
+        if self.layout == "vmajor":
+            data = S.apply_dense_rows(self.data, ids, weights, feats,
+                                      g.interpolation_weight)
+        else:
+            # dense features onto a cmajor map: per-channel scalar
+            # scatters (used by tests / small maps; the production dense
+            # maps are vmajor)
+            mult, scale = S._blend_fields(
+                ids, weights, g.num_voxels, g.interpolation_weight)
+
+            def mul_channel(c, d):
+                seg = jax.lax.dynamic_slice(
+                    d, (c * g.num_voxels,), (g.num_voxels,))
+                return jax.lax.dynamic_update_slice(
+                    d, seg * mult, (c * g.num_voxels,))
+
+            data = jax.lax.fori_loop(0, g.feature_size, mul_channel,
+                                     self.data)
+            feats8 = jnp.tile(feats, (8, 1))
+            oob = g.feature_size * g.num_voxels
+            for c in range(g.feature_size):
+                vf = jnp.where(ids < g.num_voxels,
+                               c * g.num_voxels + ids, oob)
+                data = data.at[vf].add(
+                    (scale * feats8[:, c]).astype(data.dtype),
+                    mode="drop")
         return dataclasses.replace(self, data=data)
 
     # ------------------------------------------------------------------
-    # rendering / coordinate transforms
+    # rendering / reading
     # ------------------------------------------------------------------
 
     def top_down(self, z_start: int = 0, z_stop: int = 32) -> jax.Array:
         """Feature of the top-most non-empty voxel per (row, col) within a
         depth slice; zero vector where the column is empty (reference:
         mass/nn/base_projection_layer.py:345-379)."""
-        fmap = self.data[:, :, z_start:z_stop]
+        fmap = self.grid()[:, :, z_start:z_stop]
         mask = jnp.any(fmap != 0, axis=-1)
         # index of the last occupied z: cumsum peaks there, masked argmax
         idx = jnp.argmax(jnp.cumsum(mask, axis=-1) * mask, axis=-1)
         return jnp.take_along_axis(
             fmap, idx[..., None, None], axis=-2)[..., 0, :]
 
+    def max_over_depth(self) -> jax.Array:
+        """``[H, W, F]`` max over the full z extent — the semantic-search
+        policy input (reference: agent.py:330-331 ``data.amax(dim=2)``)."""
+        g = self.geometry
+        if self.layout == "cmajor":
+            per_c = self.data.reshape(
+                g.feature_size, g.map_height, g.map_width, g.map_depth)
+            return jnp.max(per_c, axis=-1).transpose(1, 2, 0)
+        return jnp.max(self.grid(), axis=2)
+
     def occupancy_mask(self, z_start: int = 0, z_stop: int = 32,
                        threshold: float = 0.0) -> jax.Array:
         """[H, W] bool — any voxel in the slice has L1 feature norm above
         threshold (reference: mass/navigation_policy.py:204-217)."""
-        sl = self.data[:, :, z_start:z_stop]
-        return jnp.any(
-            jnp.sum(jnp.abs(sl), axis=-1) > threshold, axis=-1)
+        g = self.geometry
+        if self.layout == "cmajor":
+            per_c = jnp.abs(self.data.reshape(g.feature_size, -1))
+            l1 = jnp.sum(per_c, axis=0).reshape(
+                g.map_height, g.map_width, g.map_depth)
+        else:
+            l1 = jnp.sum(jnp.abs(self.grid()), axis=-1)
+        return jnp.any(l1[:, :, z_start:z_stop] > threshold, axis=-1)
+
+    # ------------------------------------------------------------------
+    # coordinate transforms
+    # ------------------------------------------------------------------
 
     def _world_lower_upper(self):
         lower = jnp.stack([(self.bins_x[0] + self.bins_x[1]) / 2,

@@ -1,1 +1,2 @@
-from mass_tpu.ops.scatter import trilinear_scatter_update  # noqa: F401
+from mass_tpu.ops.scatter import (  # noqa: F401
+    corner_contributions, apply_onehot_flat, apply_dense_rows)

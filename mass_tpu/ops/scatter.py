@@ -8,23 +8,39 @@ become the w-weighted average of per-point EMA blends with the old value:
     final_v = sum_p (w_p / W_v) * [(1 - iw*w_p) * old_v + iw*w_p * f_p]
     where W_v = sum_p w_p over points touching v this update.
 
-The reference realizes this with gather → in-place zero → scatter_add.
-That formulation is hostile to XLA (in-place mutation, dynamic point
-counts).  Here the same math is reorganized around three segment sums
+The reference realizes this with gather -> in-place zero -> scatter_add
+over dynamically compacted points.  Algebraically the same update is
 
     W_v  = sum w_p        S2_v = sum w_p^2       T_v = sum w_p^2 f_p
     final_v = old_v * (1 - iw * S2_v / W_v) + iw * T_v / W_v
 
-computed over points *sorted by voxel id*, so the update is a single
-fixed-shape XLA program: sort (8N keys) → segment-reduce → one unique
-scatter into the map.  No per-voxel temporaries are materialized (the
-naive route would need a [num_voxels, F] accumulator — ~3 GB for the
-default semantic map), and voxels not touched this frame are never read
-or written.  Invalid pixels are routed to an out-of-bounds id and dropped
-by the scatter, which keeps every shape static for the compiler.
+Measured v5e realities that shaped this implementation (see
+docs/performance.md):
+  * XLA scatter serializes (~30 ns/element); only 1-D scalar
+    scatter-add is usable.  Row/column/2-D-element scatters are 5-50x
+    worse and are avoided entirely on the hot path.
+  * Any array whose minor dim < 128 is lane-padded (a [V, 54] map
+    would occupy 2.4x its size; [V, 1] — 128x!), so one-hot maps are
+    stored CHANNEL-MAJOR FLAT: ``data[c * V + v]``, one contiguous [V]
+    run per feature channel, zero padding.
+  * The per-voxel multiplier pass runs as F fused [V]-slice passes
+    (dynamic_slice/update_slice on the flat buffer — layout-change
+    free), not as a broadcast (whose reshape forces a 3 GB relayout).
+  * For one-hot features each pixel touches ONE channel, so the
+    additive term is a single 1-D scalar scatter at ``c * V + v``.
+
+Dense-feature maps (conv-backbone embeddings, F a multiple of 128) are
+stored voxel-major ``[V, F]`` — lane-aligned, so the multiplier
+broadcast fuses and the (few, low-res) additive rows scatter acceptably.
+
+Invalid pixels are routed to an out-of-bounds id and dropped by the
+scatters, keeping every shape static.  Everything vmaps (episode
+batches) and shards (slab-local ids, parallel/sharding.py).
 """
 
 from __future__ import annotations
+
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,31 +65,22 @@ def _corner_indices_and_weights(ind, ratio, size: int):
     return (lower, upper), (w_lower, w_upper)
 
 
-def trilinear_scatter_update(data: jax.Array, points: BinnedPoints,
-                             features: jax.Array,
-                             interpolation_weight: float) -> jax.Array:
-    """Scatter a frame's features into the voxel map.
+def corner_contributions(points: BinnedPoints, sizes: Tuple[int, int, int],
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Expand binned pixels into their 8 voxel-corner contributions.
 
-    Args:
-      data: ``[H, W, D, F]`` voxel features (H = map rows = flipped world y).
-      points: binned pixel endpoints; ``ind_y`` indexes axis 0, ``ind_x``
-        axis 1, ``ind_z`` axis 2 (reference argument order at
-        mass/nn/base_projection_layer.py:338-341).
-      features: ``[h, w, F]`` per-pixel features, same pixel grid as points.
-      interpolation_weight: EMA blend factor ``iw``.
-
-    Returns:
-      Updated ``[H, W, D, F]`` map.
+    Returns ``(ids, weights)``, both ``[8N]`` in corner-major order (the
+    pixel for row ``k`` is ``k % N``).  ``ids`` are flat voxel ids
+    ``(row * W + col) * D + z``; invalid pixels get id ``H*W*D`` (one
+    past the end — the discard slot).
     """
-    size_h, size_w, size_d, num_features = data.shape
+    size_h, size_w, size_d = sizes
     num_voxels = size_h * size_w * size_d
-    iw = interpolation_weight
 
     ind0 = points.ind_y.reshape(-1)
     ind1 = points.ind_x.reshape(-1)
     ind2 = points.ind_z.reshape(-1)
     valid = points.valid.reshape(-1)
-    n = ind0.shape[0]
 
     (l0, u0), (wl0, wu0) = _corner_indices_and_weights(
         ind0, points.ratio_y.reshape(-1), size_h)
@@ -82,7 +89,6 @@ def trilinear_scatter_update(data: jax.Array, points: BinnedPoints,
     (l2, u2), (wl2, wu2) = _corner_indices_and_weights(
         ind2, points.ratio_z.reshape(-1), size_d)
 
-    # 8 corners per point, corner-major layout [8, N] -> [8N]
     ids, weights = [], []
     for i0, w0 in ((l0, wl0), (u0, wu0)):
         for i1, w1 in ((l1, wl1), (u1, wu1)):
@@ -91,37 +97,64 @@ def trilinear_scatter_update(data: jax.Array, points: BinnedPoints,
                 weights.append(1e-9 + w0 * w1 * w2)
     ids = jnp.stack(ids).reshape(-1)
     weights = jnp.stack(weights).reshape(-1)
-
-    # route invalid pixels (all 8 corners) to a discard id past the map
     ids = jnp.where(jnp.tile(valid, 8), ids, num_voxels)
+    return ids, weights
 
-    feats = features.reshape(n, num_features).astype(data.dtype)
 
-    # sort corner-points by voxel id so each voxel is one contiguous run
-    order = jnp.argsort(ids)
-    ids_s = ids[order]
-    w_s = weights[order].astype(data.dtype)
-    f_s = feats[order % n]
+def _blend_fields(ids, weights, num_voxels: int, iw: float):
+    """Per-voxel multiplier field and per-corner additive scale.
 
-    head = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), ids_s[1:] != ids_s[:-1]])
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    Returns ``(mult [V], scale [8N])`` with
+    ``mult_v = 1 - iw * S2_v / W_v`` (1 where untouched) and
+    ``scale_p = iw * w_p^2 / W_{v_p}``.
+    """
+    w_sum = jnp.zeros(num_voxels + 1, weights.dtype).at[ids].add(weights)
+    s2_sum = jnp.zeros(num_voxels + 1, weights.dtype).at[ids].add(
+        weights * weights)
+    safe_w = jnp.maximum(w_sum, 1e-30)
+    mult = jnp.where(w_sum > 0, 1.0 - iw * s2_sum / safe_w, 1.0)
+    scale = iw * weights * weights / safe_w[ids]
+    return mult[:num_voxels], scale
 
-    w_sum = jax.ops.segment_sum(w_s, seg, num_segments=8 * n)
-    w2_sum = jax.ops.segment_sum(w_s * w_s, seg, num_segments=8 * n)
-    wf_sum = jax.ops.segment_sum(
-        (w_s * w_s)[:, None] * f_s, seg, num_segments=8 * n)
 
-    w_v = jnp.maximum(w_sum[seg], 1e-30)
-    s2_v = w2_sum[seg]
-    t_v = wf_sum[seg]
+def apply_onehot_flat(data_flat: jax.Array, ids: jax.Array,
+                      weights: jax.Array, classes: jax.Array,
+                      num_voxels: int, num_features: int,
+                      interpolation_weight: float) -> jax.Array:
+    """Apply corner contributions to a channel-major flat map.
 
-    data_flat = data.reshape(num_voxels, num_features)
-    old = data_flat[jnp.minimum(ids_s, num_voxels - 1)]
-    new = (old * (1.0 - iw * s2_v / w_v)[:, None] +
-           iw * t_v / w_v[:, None])
+    Args:
+      data_flat: ``[F * V]`` map, element ``c * V + v``.
+      ids / weights: ``[8N]`` corner voxel ids and weights.
+      classes: ``[N]`` integer feature channel per pixel.
+    """
+    mult, scale = _blend_fields(ids, weights, num_voxels,
+                                interpolation_weight)
 
-    # one writer per voxel: only segment heads store; discard id drops
-    head_ids = jnp.where(head, ids_s, num_voxels)
-    data_flat = data_flat.at[head_ids].set(new, mode="drop")
-    return data_flat.reshape(size_h, size_w, size_d, num_features)
+    def mul_channel(c, d):
+        seg = jax.lax.dynamic_slice(d, (c * num_voxels,), (num_voxels,))
+        return jax.lax.dynamic_update_slice(
+            d, seg * mult, (c * num_voxels,))
+
+    data_flat = jax.lax.fori_loop(0, num_features, mul_channel, data_flat)
+
+    cf = jnp.tile(classes, 8)
+    vf = jnp.where(ids < num_voxels, cf * num_voxels + ids,
+                   num_features * num_voxels)
+    return data_flat.at[vf].add(scale.astype(data_flat.dtype),
+                                mode="drop")
+
+
+def apply_dense_rows(data: jax.Array, ids: jax.Array, weights: jax.Array,
+                     pixel_features: jax.Array,
+                     interpolation_weight: float) -> jax.Array:
+    """Apply corner contributions to a voxel-major ``[V, F]`` map with
+    dense per-pixel features ``[N, F]`` (F lane-aligned; N small — the
+    feature camera runs at reduced resolution)."""
+    num_voxels = data.shape[0]
+    mult, scale = _blend_fields(ids, weights, num_voxels,
+                                interpolation_weight)
+    data = data * mult[:, None]
+    contrib = scale[:, None] * jnp.tile(
+        pixel_features.astype(data.dtype), (8, 1))
+    return data.at[ids].add(contrib, mode="drop")

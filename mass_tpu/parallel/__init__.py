@@ -1,0 +1,3 @@
+from mass_tpu.parallel.mesh import make_mesh  # noqa: F401
+from mass_tpu.parallel.sharding import (  # noqa: F401
+    shard_voxelmap, sharded_update_fn)

@@ -1,0 +1,74 @@
+"""Tests for the semantic-search policy: architecture parity with the
+reference torch network, sampling head, and the (new) trainer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mass_tpu.search import policy as pol
+from mass_tpu.search import train as ptrain
+
+
+def _torch_net():
+    import torch.nn as nn
+    layers = []
+    cin = 54
+    for _ in range(4):
+        layers += [nn.Conv2d(cin, 64, 3, padding=1),
+                   nn.GroupNorm(1, 64), nn.ReLU()]
+        cin = 64
+    layers.append(nn.Conv2d(64, 1, 3, padding=1))
+    return nn.Sequential(*layers)
+
+
+def test_forward_shape():
+    params = pol.init_params(jax.random.PRNGKey(0), 32, 40)
+    out = pol.goal_logits(params, jnp.zeros((2, 32, 40, 54)))
+    assert out.shape == (2, 32 * 40)
+
+
+def test_torch_checkpoint_parity():
+    """Random torch weights imported into flax must reproduce the torch
+    network's output (validates the policy.pth import path)."""
+    import torch
+    torch.manual_seed(0)
+    net = _torch_net().eval()
+    params = pol.params_from_torch_state_dict(net.state_dict())
+
+    x = np.random.RandomState(1).randn(1, 16, 20, 54).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    out = np.asarray(pol.SearchPolicy().apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_sample_goal_cell_in_bounds_and_biased():
+    h, w = 12, 16
+    params = pol.init_params(jax.random.PRNGKey(0), h, w)
+    # force a strong peak by feeding a map with one hot column and
+    # checking samples are valid cells
+    td = jnp.zeros((1, h, w, 54))
+    cells = []
+    for i in range(20):
+        c = np.asarray(pol.sample_goal_cell(
+            params, td, jax.random.PRNGKey(i)))[0]
+        assert 0 <= c[0] < w and 0 <= c[1] < h and c[2] == 0
+        cells.append(tuple(c))
+    assert len(set(cells)) > 1  # uniform-ish logits -> varied samples
+
+
+def test_train_step_decreases_loss():
+    rng = jax.random.PRNGKey(2)
+    h, w = 12, 16
+    state, tx = ptrain.create_train_state(rng, h, w, 54,
+                                          learning_rate=1e-2)
+    td = jax.random.uniform(jax.random.PRNGKey(3), (4, h, w, 54))
+    goals = jnp.asarray([[3, 4], [10, 2], [7, 7], [0, 0]])
+
+    step = jax.jit(lambda s, x, y: ptrain.train_step(s, tx, x, y))
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, td, goals)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5

@@ -71,7 +71,7 @@ def test_single_update_parity():
                    jnp.asarray(depth), jnp.asarray(feats))
 
     assert np.any(fmap != 0), "oracle map should be non-empty"
-    np.testing.assert_allclose(np.asarray(vm.data), fmap, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vm.grid()), fmap, atol=1e-4)
 
 
 def test_sequential_updates_parity():
@@ -93,7 +93,7 @@ def test_sequential_updates_parity():
                     pose["elevation"], jnp.asarray(depth),
                     jnp.asarray(feats))
 
-    np.testing.assert_allclose(np.asarray(vm.data), fmap, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(vm.grid()), fmap, atol=3e-4)
 
 
 def test_update_all_invalid_is_noop():
@@ -103,7 +103,7 @@ def test_update_all_invalid_is_noop():
     vm = VoxelMap.create(GEO, ORIGIN)
     out = vm.update(jnp.asarray(rays), jnp.zeros(3), 0.0, 0.0,
                     jnp.asarray(depth), jnp.asarray(feats))
-    np.testing.assert_array_equal(np.asarray(out.data), 0.0)
+    np.testing.assert_array_equal(np.asarray(out.grid()), 0.0)
 
 
 def test_occupancy_update_marks_hit_voxel():
@@ -116,7 +116,7 @@ def test_occupancy_update_marks_hit_voxel():
     feats = jnp.ones((1, 1, 1))
     # yaw=0, elev=0 -> eye = +x; endpoint at (0.5, 0, 0)
     vm = vm.update(rays, jnp.zeros(3), 0.0, 0.0, depth, feats)
-    data = np.asarray(vm.data)
+    data = np.asarray(vm.grid())
     iy, ix, iz = np.unravel_index(np.argmax(data[..., 0]), data.shape[:3])
     expect = np.asarray(vm.world_to_map(jnp.asarray([0.5, 0.0, 0.0])))
     assert (ix, iy, iz) == (expect[0], expect[1], expect[2])
@@ -145,8 +145,8 @@ def test_scan_over_frames_matches_python_loop():
 
     vm_scan, _ = jax.lax.scan(step, VoxelMap.create(GEO, ORIGIN),
                               (poss, yaws, elevs, depths, feats))
-    np.testing.assert_allclose(np.asarray(vm_scan.data),
-                               np.asarray(vm_loop.data), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vm_scan.grid()),
+                               np.asarray(vm_loop.grid()), atol=1e-5)
 
 
 def test_top_down_matches_oracle():
@@ -220,7 +220,7 @@ def test_reset_recenters():
     feats = jnp.ones((CAM["h"], CAM["w"], GEO.feature_size))
     vm = vm.update(rays, jnp.zeros(3), 0.0, 0.0, depth, feats)
     vm2 = vm.reset(jnp.asarray([1.0, 2.0, 0.0]))
-    assert np.all(np.asarray(vm2.data) == 0)
+    assert np.all(np.asarray(vm2.grid()) == 0)
     np.testing.assert_allclose(
         np.asarray(vm2.bins_x),
         R.ref_bins(1.0, GEO.map_width, GEO.grid_resolution), atol=1e-6)
@@ -250,3 +250,25 @@ def test_vmap_over_batched_episodes():
             rays, pos[i], y, 0.0, depth[i], feats[i])
         np.testing.assert_allclose(np.asarray(out.data[i]),
                                    np.asarray(vm_i.data), atol=1e-5)
+
+
+def test_update_classes_matches_dense_onehot():
+    """The scalar-scatter one-hot fast path must equal the dense path
+    fed an explicit one-hot image (and hence the reference semantics)."""
+    rng = np.random.RandomState(11)
+    geo = dataclasses.replace(GEO, feature_size=5)
+    rays = jnp.asarray(
+        R.ref_camera_rays(CAM["h"], CAM["w"], CAM["f"], CAM["f"]))
+    vm_cls = VoxelMap.create(geo, ORIGIN)
+    vm_dense = VoxelMap.create(geo, ORIGIN)
+    for _ in range(3):
+        depth, _, pose = _make_frame(rng, special_depths=False)
+        classes = rng.randint(0, 5, (CAM["h"], CAM["w"])).astype(np.int32)
+        onehot = np.eye(5, dtype=np.float32)[classes]
+        args = (jnp.asarray(pose["position"]), pose["yaw"],
+                pose["elevation"], jnp.asarray(depth))
+        vm_cls = vm_cls.update_classes(rays, *args, jnp.asarray(classes))
+        vm_dense = vm_dense.update(rays, *args, jnp.asarray(onehot))
+    np.testing.assert_allclose(np.asarray(vm_cls.grid()),
+                               np.asarray(vm_dense.grid()), atol=1e-5)
+    assert np.asarray(vm_cls.grid()).any()
