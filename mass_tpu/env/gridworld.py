@@ -1,0 +1,202 @@
+"""Procedural rearrangement world: a simulator-free stand-in for THOR.
+
+A rectangular room with axis-aligned box objects, an analytic RGB-D +
+semantic renderer, THOR-compatible discrete actions, two-phase episodes
+(walkthrough at goal poses, unshuffle with some objects displaced or
+opened), pose metadata, and challenge metrics.  It implements the same
+observation / action / pose contract as the THOR gateway (env/thor.py),
+so the full agent, tests, and benchmarks run closed-loop with no Unity
+process (the reference has no such capability and cannot be tested
+without the simulator; see SURVEY.md §4).
+
+Conventions match THOR where the framework touches them (reference:
+mass/navigation_policy.py:78-132): y is up, rotation is clockwise
+degrees with 0 facing +z, horizon positive looks down, depth images are
+planar (distance along the camera axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mass_tpu import taxonomy
+from mass_tpu.config import CameraConfig
+from mass_tpu.env.protocol import AgentPose, StepResult
+
+_SNAKE = re.compile(r"(?<!^)(?=[A-Z])")
+
+
+def snake_case(name: str) -> str:
+    return _SNAKE.sub("_", name).lower()
+
+
+@dataclasses.dataclass
+class ObjectInstance:
+    name: str
+    class_id: int
+    position: np.ndarray       # (x, y_base, z) meters
+    size: np.ndarray           # (sx, sy, sz) meters
+    openness: Optional[float] = None
+    broken: bool = False
+
+    @property
+    def aabb(self) -> Tuple[np.ndarray, np.ndarray]:
+        lo = np.asarray([self.position[0] - self.size[0] / 2,
+                         self.position[1],
+                         self.position[2] - self.size[2] / 2])
+        hi = lo + np.asarray([self.size[0], self.size[1], self.size[2]])
+        return lo, hi
+
+    def pose_dict(self) -> Dict:
+        lo, hi = self.aabb
+        corners = np.stack(np.meshgrid(*zip(lo, hi), indexing="ij"),
+                           axis=-1).reshape(8, 3)
+        return dict(
+            name=self.name,
+            type=taxonomy.CLASS_NAMES[self.class_id],
+            position=dict(x=float(self.position[0]),
+                          y=float(self.position[1]),
+                          z=float(self.position[2])),
+            bounding_box=corners.tolist(),
+            openness=self.openness,
+            broken=self.broken)
+
+
+def _ray_aabb_planar(origin, dirs, lo, hi):
+    """Planar-depth intersection of unnormalized rays with one AABB.
+
+    ``dirs [N, 3]`` have unit length along the camera axis, so the hit
+    parameter t IS the planar depth.  Returns t (+inf on miss).
+    """
+    inv = 1.0 / np.where(np.abs(dirs) < 1e-9,
+                         np.where(dirs < 0, -1e-9, 1e-9), dirs)
+    t0 = (lo[None] - origin[None]) * inv
+    t1 = (hi[None] - origin[None]) * inv
+    tmin = np.minimum(t0, t1).max(axis=1)
+    tmax = np.maximum(t0, t1).min(axis=1)
+    hit = (tmax >= np.maximum(tmin, 1e-6))
+    return np.where(hit, np.maximum(tmin, 1e-6), np.inf)
+
+
+class GridWorld:
+    """One room state (a set of object instances + geometry)."""
+
+    WALL_THICKNESS = 0.05
+
+    def __init__(self, room_size=(6.0, 2.5, 6.0),
+                 objects: Optional[List[ObjectInstance]] = None):
+        self.room_size = np.asarray(room_size, np.float64)
+        self.objects: List[ObjectInstance] = objects or []
+
+    def clone(self) -> "GridWorld":
+        return GridWorld(tuple(self.room_size),
+                         [dataclasses.replace(
+                             o, position=o.position.copy(),
+                             size=o.size.copy()) for o in self.objects])
+
+    def static_boxes(self):
+        """Floor, ceiling and four walls as (lo, hi, class 0)."""
+        sx, sy, sz = self.room_size
+        t = self.WALL_THICKNESS
+        boxes = [
+            (np.asarray([0, -t, 0.]), np.asarray([sx, 0, sz])),      # floor
+            (np.asarray([-t, 0, 0.]), np.asarray([0, sy, sz])),      # x=0
+            (np.asarray([sx, 0, 0.]), np.asarray([sx + t, sy, sz])),
+            (np.asarray([0, 0, -t]), np.asarray([sx, sy, 0])),       # z=0
+            (np.asarray([0, 0, sz]), np.asarray([sx, sy, sz + t])),
+        ]
+        return boxes
+
+    def render(self, camera: CameraConfig, pose: AgentPose,
+               camera_height_m: float = 1.575,
+               crouch_offset: float = 0.675):
+        """Analytic RGB-D + semantic render.
+
+        Returns (rgb [h, w, 3] in 0-1, depth [h, w, 1] planar meters,
+        semantic [h, w, 1] int32 class ids).
+        """
+        h, w = camera.height, camera.width
+        f = camera.focal_length
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        rx = (xs - 0.5 * (w - 1)) / f
+        ry = -(ys - 0.5 * (h - 1)) / f
+        cam_dirs = np.stack([rx, ry, -np.ones_like(rx)],
+                            axis=-1).reshape(-1, 3)
+
+        yaw = np.pi / 2 - np.radians(pose.rotation_degrees)
+        elev = -np.radians(pose.horizon_degrees)
+
+        def sph(a, b):
+            return np.asarray([np.cos(a) * np.cos(b),
+                               np.sin(a) * np.cos(b), np.sin(b)])
+        eye = sph(yaw, elev)
+        up = sph(yaw, elev + np.pi / 2)
+        rot = np.stack([np.cross(eye, up), up, -eye], axis=-1)
+        world_dirs = cam_dirs @ rot.T  # in (x, z_sim, y_up) world frame
+        # world frame here: (wx, wy, wz) = (sim x, sim z, sim y-up)
+        cam_y = pose.y + (camera_height_m if pose.standing
+                          else camera_height_m - crouch_offset)
+        origin = np.asarray([pose.x, pose.z, cam_y])
+
+        best_t = np.full(world_dirs.shape[0], np.inf)
+        best_cls = np.zeros(world_dirs.shape[0], np.int32)
+
+        def world_box(lo_sim, hi_sim):
+            # sim (x, y, z) -> world (x, z, y)
+            lo = np.asarray([lo_sim[0], lo_sim[2], lo_sim[1]])
+            hi = np.asarray([hi_sim[0], hi_sim[2], hi_sim[1]])
+            return lo, hi
+
+        for lo_sim, hi_sim in self.static_boxes():
+            lo, hi = world_box(lo_sim, hi_sim)
+            t = _ray_aabb_planar(origin, world_dirs, lo, hi)
+            closer = t < best_t
+            best_t = np.where(closer, t, best_t)
+            best_cls = np.where(closer, 0, best_cls)
+
+        for obj in self.objects:
+            lo, hi = world_box(*obj.aabb)
+            t = _ray_aabb_planar(origin, world_dirs, lo, hi)
+            closer = t < best_t
+            best_t = np.where(closer, t, best_t)
+            best_cls = np.where(closer, obj.class_id, best_cls)
+
+        depth = np.where(np.isfinite(best_t), best_t, 0.0)
+        depth = depth.reshape(h, w, 1).astype(np.float32)
+        semantic = best_cls.reshape(h, w, 1).astype(np.int32)
+        colors = taxonomy.class_colors_array()
+        rgb = colors[semantic[..., 0]].astype(np.float32)
+        return rgb, depth, semantic
+
+    # -------------------------------------------------------- physics
+
+    def blocked(self, x: float, z: float, agent_radius: float = 0.2,
+                ignore: Optional[str] = None) -> bool:
+        sx, _, sz = self.room_size
+        if not (agent_radius <= x <= sx - agent_radius and
+                agent_radius <= z <= sz - agent_radius):
+            return True
+        for obj in self.objects:
+            if ignore is not None and obj.name == ignore:
+                continue
+            lo, hi = obj.aabb
+            if (lo[0] - agent_radius <= x <= hi[0] + agent_radius and
+                    lo[2] - agent_radius <= z <= hi[2] + agent_radius):
+                return True
+        return False
+
+    def nearest_of_class(self, class_id: int, x: float, z: float,
+                         max_distance: float = 1.5,
+                         ) -> Optional[ObjectInstance]:
+        best, best_d = None, max_distance
+        for obj in self.objects:
+            if obj.class_id != class_id:
+                continue
+            d = float(np.hypot(obj.position[0] - x, obj.position[2] - z))
+            if d <= best_d:
+                best, best_d = obj, d
+        return best

@@ -1,0 +1,276 @@
+"""Point-goal navigation controller over the voxel maps.
+
+Host-side orchestration mirroring the reference NavigationPolicy
+(reference: mass/navigation_policy.py): per step it folds the latest
+RGB-D observation into the selected voxel maps (jitted device work),
+plans on the nav grid (device BFS + host backtrack), and emits discrete
+actions from a deterministic heading rule.  Failed simulator actions
+prune the nav grid and trigger replanning.
+
+Pose conventions (reference: mass/navigation_policy.py:78-132): world =
+(x, z_sim, y_sim - crouch offset); yaw = pi/2 - rotation; elevation =
+-horizon; a crouching agent's camera sits 0.675 m lower.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mass_tpu.config import NavConfig
+from mass_tpu.env.protocol import Task
+from mass_tpu.nav import grid as NG
+
+CROUCH_HEIGHT_OFFSET = 0.675
+
+
+class NavigationController:
+    """Wraps a task + named voxel maps; provides ``navigate_to``.
+
+    ``maps`` values are objects exposing ``update_from_observation(obs)``
+    and the VoxelMap read API (see mass_tpu.maps); ``navigation_map``
+    names the occupancy entry used for traversability.
+    """
+
+    def __init__(self, task: Task, navigation_map: str,
+                 maps: Dict[str, object], config: NavConfig = NavConfig(),
+                 rng: Optional[np.random.RandomState] = None):
+        self.task = task
+        self.maps = maps
+        self.navigation_map = navigation_map
+        self.config = config
+        self.rng = rng or np.random.RandomState(0)
+        self.nav_grid: Optional[NG.NavGrid] = None
+        self.reset_navigation_grid()
+
+    # ------------------------------------------------------------ pose
+
+    def process_position(self) -> np.ndarray:
+        loc = self.task.agent_location()
+        dy = 0.0 if loc.standing else CROUCH_HEIGHT_OFFSET
+        return np.asarray([loc.x, loc.z, loc.y - dy], np.float32)
+
+    def process_yaw(self) -> float:
+        loc = self.task.agent_location()
+        return float(np.pi / 2 - np.radians(loc.rotation_degrees))
+
+    def process_elevation(self) -> float:
+        return float(-np.radians(self.task.agent_location()
+                                 .horizon_degrees))
+
+    def process_observations(self, observations: Dict,
+                             update_map: Union[str, List[str], None]
+                             = None) -> None:
+        """Attach pose (with optional Gaussian noise, reference:
+        mass/navigation_policy.py:157-161) and fold the frame into the
+        selected maps."""
+        observations["position"] = (
+            self.process_position() +
+            self.rng.normal() * self.config.position_noise_std)
+        observations["yaw"] = (
+            self.process_yaw() +
+            self.rng.normal() * self.config.rotation_noise_std)
+        observations["elevation"] = self.process_elevation()
+        if update_map is None:
+            return
+        names = [update_map] if isinstance(update_map, str) else \
+            update_map
+        for name in names:
+            self.maps[name].update_from_observation(observations)
+
+    # ------------------------------------------------------------ mesh
+
+    def _occupancy_vm(self):
+        return self.maps[self.navigation_map].voxel_map
+
+    def _navigable(self):
+        cfg = self.config
+        return NG.navigable_area(
+            self._occupancy_vm(), padding=cfg.obstacle_padding,
+            z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
+            obstacle_threshold=cfg.obstacle_threshold)
+
+    def _origin_offsets(self):
+        vm = self._occupancy_vm()
+        g = vm.geometry
+        # cell of the map origin, so the start location owns a node
+        # (reference: mass/navigation_policy.py:259-271)
+        origin_x = (vm.bins_x[0] + vm.bins_x[-1]) / 2 + \
+            g.grid_resolution / 2
+        origin_y = (vm.bins_y[0] + vm.bins_y[-1]) / 2 + \
+            g.grid_resolution / 2
+        cell = np.asarray(vm.world_to_map(
+            jnp.asarray([origin_x, origin_y])))
+        s = self.config.step_size
+        return int(cell[0]) % s, int(cell[1]) % s
+
+    def reset_navigation_grid(self) -> None:
+        off_x, off_y = self._origin_offsets()
+        self.nav_grid = NG.build_nav_grid(
+            self._navigable(), off_x, off_y, step=self.config.step_size)
+
+    def update_navigation_grid(self) -> None:
+        self.nav_grid = NG.refresh_nav_grid(
+            self.nav_grid, self._navigable(),
+            step=self.config.step_size)
+
+    # -------------------------------------------------------- planning
+
+    def _cell_of_world(self, world_xy) -> np.ndarray:
+        return np.asarray(self._occupancy_vm().world_to_map(
+            jnp.asarray(world_xy, jnp.float32)[..., :2]))
+
+    def _source_field(self, position) -> tuple:
+        cell = self._cell_of_world(position)
+        s = self.config.step_size
+        src = NG.nearest_node(
+            self.nav_grid, NG.distance_field(
+                self.nav_grid, jnp.int32(0), jnp.int32(0)) * 0,
+            jnp.asarray(cell), s, reachable_only=False)
+        dist = NG.distance_field(self.nav_grid, src[0], src[1])
+        return src, dist
+
+    def shortest_path(self, source_world, target_world) -> np.ndarray:
+        """World-coordinate waypoint path source -> target (reference:
+        mass/navigation_policy.py:427-486): source snaps to its nearest
+        node, target to the nearest *reachable* node; the true source
+        position is prepended when it differs from its node."""
+        vm = self._occupancy_vm()
+        src, dist = self._source_field(source_world)
+        tgt_cell = self._cell_of_world(target_world)
+        s = self.config.step_size
+        tgt = NG.nearest_node(self.nav_grid, dist,
+                              jnp.asarray(tgt_cell), s,
+                              reachable_only=True)
+        cells = NG.extract_path(self.nav_grid, np.asarray(dist),
+                                np.asarray(tgt), s)
+        if cells.shape[0] == 0:
+            cells = self._cell_of_world(source_world)[None]
+        src_cell = self._cell_of_world(source_world)
+        if not np.array_equal(cells[0], src_cell):
+            cells = np.concatenate([src_cell[None], cells], axis=0)
+        cells3 = np.concatenate(
+            [cells, np.zeros((cells.shape[0], 1), cells.dtype)], axis=1)
+        return np.asarray(vm.map_to_world(
+            jnp.asarray(cells3, jnp.float32)))
+
+    def navigable_node_cells(self, position) -> np.ndarray:
+        """Map cells of all nodes reachable from ``position``."""
+        _, dist = self._source_field(position)
+        dist = np.asarray(dist)
+        alive = np.asarray(self.nav_grid.alive)
+        ii, jj = np.nonzero((dist < int(NG.INF)) & alive)
+        s = self.config.step_size
+        xs = int(self.nav_grid.off_x) + jj * s
+        ys = int(self.nav_grid.off_y) + ii * s
+        return np.stack([xs, ys], axis=-1)
+
+    def sample_navigation_goal(self, observations: Dict) -> np.ndarray:
+        """Uniform random reachable node, as a world point (reference:
+        mass/navigation_policy.py:389-425)."""
+        if "position" not in observations:
+            observations["position"] = self.process_position()
+        nodes = self.navigable_node_cells(observations["position"])
+        pick = nodes[self.rng.randint(nodes.shape[0])]
+        cell3 = np.asarray([pick[0], pick[1], 0], np.float32)
+        return np.asarray(self._occupancy_vm().map_to_world(
+            jnp.asarray(cell3)))
+
+    # ------------------------------------------------------ local policy
+
+    @staticmethod
+    def get_heading(observations: Dict, goal: np.ndarray) -> float:
+        """Egocentric yaw toward ``goal``, wrapped to [-pi, pi]
+        (reference: mass/navigation_policy.py:488-520)."""
+        direction = np.asarray(goal)[:2] - \
+            np.asarray(observations["position"])[:2]
+        yaw = float(np.arctan2(direction[1], direction[0]) -
+                    observations["yaw"])
+        if abs(yaw) > np.pi:
+            yaw = -np.sign(yaw) * (2 * np.pi - abs(yaw))
+        return yaw
+
+    def get_action(self, observations: Dict, goal,
+                   update_map=None,
+                   update_navigation_grid: bool = True) -> Optional[int]:
+        """Plan + heading rule -> move_ahead / rotate_left /
+        rotate_right / None-at-goal (reference:
+        mass/navigation_policy.py:522-605)."""
+        self.process_observations(observations, update_map=update_map)
+        if update_navigation_grid:
+            self.update_navigation_grid()
+
+        goal = np.asarray(goal, np.float32)
+        path = self.shortest_path(observations["position"], goal)
+        observations["path"] = path
+
+        if np.allclose(observations["position"][:2], goal[:2]):
+            heading = 0.0
+        else:
+            waypoint = goal if path.shape[0] == 1 else path[1]
+            heading = self.get_heading(observations, waypoint)
+        observations["heading"] = heading
+
+        names = self.task.action_names()
+        if path.shape[0] > 1 and abs(heading) <= np.pi / 4:
+            return names.index("move_ahead")
+        if heading > np.pi / 4:
+            return names.index("rotate_left")
+        if heading < -np.pi / 4:
+            return names.index("rotate_right")
+        return None
+
+    def failed_action(self, observations: Dict, action: int) -> None:
+        """Remove the blocking node and replan (reference:
+        mass/navigation_policy.py:607-648): a failed rotation removes
+        the current node, a failed move removes the next one."""
+        names = self.task.action_names()
+        idx = 0 if "rotate" in names[action] else 1
+        path = observations.get("path")
+        if path is None or path.shape[0] == 0:
+            return
+        s = self.config.step_size
+        off_x, off_y = int(self.nav_grid.off_x), int(self.nav_grid.off_y)
+        alive = np.asarray(self.nav_grid.alive)
+        ny, nx = alive.shape
+        while idx < path.shape[0]:
+            cell = self._cell_of_world(path[idx])
+            j, i = (int(cell[0]) - off_x) // s, \
+                (int(cell[1]) - off_y) // s
+            on_node = (int(cell[0]) - off_x) % s == 0 and \
+                (int(cell[1]) - off_y) % s == 0 and \
+                0 <= i < ny and 0 <= j < nx and alive[i, j]
+            if on_node:
+                self.nav_grid = self.nav_grid._replace(
+                    alive=self.nav_grid.alive.at[i, j].set(False))
+                return
+            idx += 1
+
+    # --------------------------------------------------------- rollout
+
+    def navigate_to(self, goal, update_map=None) -> Iterator[Dict]:
+        """Generator: walk toward ``goal``, yielding each observation
+        (for visualization), stepping the simulator, pruning the mesh on
+        failures, refreshing it every ``graph_update_interval`` steps
+        (reference: mass/navigation_policy.py:650-726)."""
+        interval = self.config.graph_update_interval
+        observations = self.task.get_observations()
+        action = self.get_action(observations, goal,
+                                 update_map=update_map,
+                                 update_navigation_grid=True)
+        time_step = 0
+        while True:
+            time_step += 1
+            yield observations
+            if self.task.is_done() or action is None:
+                return
+            result = self.task.step(action)
+            if not result.action_success:
+                self.failed_action(observations, action)
+            observations = self.task.get_observations()
+            action = self.get_action(
+                observations, goal, update_map=update_map,
+                update_navigation_grid=time_step % interval == 0)

@@ -1,0 +1,243 @@
+"""Grid navigation mesh as device masks + BFS distance fields.
+
+TPU-native redesign of the reference's networkx navmesh (reference:
+mass/navigation_policy.py:223-486): nodes sit every ``step`` cells of
+the occupancy map (offset so the map origin's cell gets a node), an
+edge exists when the 1-cell-wide corridor between two adjacent nodes is
+fully navigable, and planning is breadth-first search.  Instead of a
+host graph object, the mesh is three boolean masks (node alive, edge
+right, edge down) living on device; reachability and shortest paths
+come from a min-plus BFS relaxation under ``lax.while_loop``; path
+extraction backtracks the distance field (host-side, tiny).
+
+Graph surgery is monotone in the reference (nodes/edges only ever
+removed between resets) so updates are mask ANDs, and failed-action
+pruning clears one node bit (reference: mass/navigation_policy.py:
+296-341, 607-648).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mass_tpu.core.voxelmap import VoxelMap
+from mass_tpu.ops.pool import max_pool2d_same
+
+INF = jnp.int32(1 << 28)
+
+
+def navigable_area(vm: VoxelMap, padding: int = 3, z_start: int = 0,
+                   z_stop: int = 32,
+                   obstacle_threshold: float = 0.0) -> jax.Array:
+    """[H, W] bool — cells with no occupied voxel in the z slice, eroded
+    by ``padding`` cells around obstacles (reference:
+    mass/navigation_policy.py:173-221)."""
+    blocked = vm.occupancy_mask(z_start, z_stop, obstacle_threshold)
+    if padding > 0:
+        blocked = max_pool2d_same(blocked, padding)
+    return ~blocked
+
+
+class NavGrid(NamedTuple):
+    """Navigation mesh state (all device arrays).
+
+    Node ``(i, j)`` sits at map cell ``(y, x) = (off_y + i*step,
+    off_x + j*step)``.  ``edge_right[i, j]`` connects nodes (i, j) and
+    (i, j+1); ``edge_down[i, j]`` connects (i, j) and (i+1, j).
+    """
+
+    alive: jax.Array       # [ny, nx] bool
+    edge_right: jax.Array  # [ny, nx] bool
+    edge_down: jax.Array   # [ny, nx] bool
+    off_x: jax.Array       # scalar int32
+    off_y: jax.Array       # scalar int32
+
+
+def _node_cells(nav_h: int, nav_w: int, ny: int, nx: int, off_x, off_y,
+                step: int):
+    ys = off_y + jnp.arange(ny, dtype=jnp.int32) * step
+    xs = off_x + jnp.arange(nx, dtype=jnp.int32) * step
+    in_bounds = (ys[:, None] < nav_h) & (xs[None, :] < nav_w)
+    return ys, xs, in_bounds
+
+
+def _corridor_masks(navigable: jax.Array, ys, xs, in_bounds, step: int):
+    """Edge masks: the (step+1)-cell corridor between adjacent nodes must
+    be fully navigable (reference checks the spanned rectangle,
+    mass/navigation_policy.py:282-294)."""
+    nav = navigable.astype(jnp.float32)
+    h, w = navigable.shape
+    # window-all tests via cumulative sums
+    cs_x = jnp.cumsum(nav, axis=1)
+    cs_x = jnp.concatenate([jnp.zeros((h, 1)), cs_x], axis=1)
+    cs_y = jnp.cumsum(nav, axis=0)
+    cs_y = jnp.concatenate([jnp.zeros((1, w)), cs_y], axis=0)
+
+    def window_all_x(y_idx, x_idx):  # [ny], [nx] -> [ny, nx]
+        x0 = x_idx[None, :]
+        hi = jnp.clip(x0 + step + 1, 0, w)
+        lo = jnp.clip(x0, 0, w)
+        length = (hi - lo).astype(jnp.float32)
+        total = cs_x[y_idx[:, None], hi] - cs_x[y_idx[:, None], lo]
+        return total >= length - 0.5
+
+    def window_all_y(y_idx, x_idx):
+        y0 = y_idx[:, None]
+        hi = jnp.clip(y0 + step + 1, 0, h)
+        lo = jnp.clip(y0, 0, h)
+        length = (hi - lo).astype(jnp.float32)
+        total = cs_y[hi, x_idx[None, :]] - cs_y[lo, x_idx[None, :]]
+        return total >= length - 0.5
+
+    ny, nx = ys.shape[0], xs.shape[0]
+    right_ok = window_all_x(jnp.clip(ys, 0, h - 1), xs)
+    down_ok = window_all_y(ys, jnp.clip(xs, 0, w - 1))
+    has_right = in_bounds & jnp.roll(in_bounds, -1, axis=1)
+    has_right = has_right.at[:, nx - 1].set(False)
+    has_down = in_bounds & jnp.roll(in_bounds, -1, axis=0)
+    has_down = has_down.at[ny - 1, :].set(False)
+    return right_ok & has_right, down_ok & has_down
+
+
+def grid_shape(map_height: int, map_width: int,
+               step: int) -> Tuple[int, int]:
+    return (map_height + step - 1) // step, \
+        (map_width + step - 1) // step
+
+
+@functools.partial(jax.jit, static_argnames=("step",))
+def build_nav_grid(navigable: jax.Array, off_x, off_y,
+                   step: int = 5) -> NavGrid:
+    """Fresh mesh from a navigable-area mask (reference
+    reset_navigation_graph, mass/navigation_policy.py:223-294).
+
+    Reference parity note: the reference only instantiates nodes that
+    have at least one clear corridor; isolated nodes simply become
+    unreachable here, which is equivalent for planning.
+    """
+    h, w = navigable.shape
+    ny, nx = grid_shape(h, w, step)
+    ys, xs, in_bounds = _node_cells(h, w, ny, nx, off_x, off_y, step)
+    er, ed = _corridor_masks(navigable, ys, xs, in_bounds, step)
+    return NavGrid(alive=in_bounds, edge_right=er, edge_down=ed,
+                   off_x=jnp.asarray(off_x, jnp.int32),
+                   off_y=jnp.asarray(off_y, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("step",))
+def refresh_nav_grid(grid: NavGrid, navigable: jax.Array,
+                     step: int = 5) -> NavGrid:
+    """Monotone update: drop nodes whose cell became blocked and edges
+    whose corridor became blocked (reference update_navigation_graph,
+    mass/navigation_policy.py:296-341)."""
+    h, w = navigable.shape
+    ny, nx = grid.alive.shape
+    ys, xs, in_bounds = _node_cells(h, w, ny, nx, grid.off_x,
+                                    grid.off_y, step)
+    node_ok = navigable[jnp.clip(ys[:, None], 0, h - 1),
+                        jnp.clip(xs[None, :], 0, w - 1)] & in_bounds
+    er, ed = _corridor_masks(navigable, ys, xs, in_bounds, step)
+    alive = grid.alive & node_ok
+    return grid._replace(alive=alive,
+                         edge_right=grid.edge_right & er,
+                         edge_down=grid.edge_down & ed)
+
+
+@jax.jit
+def distance_field(grid: NavGrid, src_j, src_i) -> jax.Array:
+    """BFS hop distances from node (src_j, src_i) over alive nodes and
+    intact edges; INF where unreachable."""
+    ny, nx = grid.alive.shape
+    alive = grid.alive
+    er = grid.edge_right & alive & jnp.roll(alive, -1, axis=1)
+    ed = grid.edge_down & alive & jnp.roll(alive, -1, axis=0)
+
+    start = (jnp.zeros((ny, nx), jnp.int32) + INF).at[src_i, src_j].set(0)
+    start = jnp.where(alive, start, INF)
+
+    def relax(dist):
+        from_left = jnp.where(
+            jnp.roll(er, 1, axis=1), jnp.roll(dist, 1, axis=1) + 1, INF)
+        from_left = from_left.at[:, 0].set(INF)
+        from_right = jnp.where(er, jnp.roll(dist, -1, axis=1) + 1, INF)
+        from_up = jnp.where(
+            jnp.roll(ed, 1, axis=0), jnp.roll(dist, 1, axis=0) + 1, INF)
+        from_up = from_up.at[0, :].set(INF)
+        from_down = jnp.where(ed, jnp.roll(dist, -1, axis=0) + 1, INF)
+        best = jnp.minimum(jnp.minimum(from_left, from_right),
+                           jnp.minimum(from_up, from_down))
+        return jnp.where(alive, jnp.minimum(dist, best), INF)
+
+    def cond(state):
+        dist, changed = state
+        return changed
+
+    def body(state):
+        dist, _ = state
+        new = relax(dist)
+        return new, jnp.any(new != dist)
+
+    dist, _ = jax.lax.while_loop(cond, body,
+                                 (relax(start), jnp.asarray(True)))
+    return dist
+
+
+@functools.partial(jax.jit, static_argnames=("step", "reachable_only"))
+def nearest_node(grid: NavGrid, dist: jax.Array, cell_xy, step: int,
+                 reachable_only: bool = True) -> jax.Array:
+    """Index (j, i) of the nearest (euclidean, in map cells) node to map
+    cell (x, y), restricted to BFS-reachable nodes when asked
+    (reference navigable_points + argmin, mass/navigation_policy.py:
+    343-387, 454-467)."""
+    ny, nx = grid.alive.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    node_x = grid.off_x + jj * step
+    node_y = grid.off_y + ii * step
+    d2 = ((node_x - cell_xy[0]) ** 2 +
+          (node_y - cell_xy[1]) ** 2).astype(jnp.float32)
+    ok = grid.alive & ((dist < INF) if reachable_only else True)
+    d2 = jnp.where(ok, d2, jnp.inf)
+    k = jnp.argmin(d2.reshape(-1))
+    return jnp.stack([k % nx, k // nx]).astype(jnp.int32)
+
+
+def extract_path(grid: NavGrid, dist: np.ndarray, target_ji,
+                 step: int) -> np.ndarray:
+    """Backtrack a shortest node path target -> source from a BFS
+    distance field (host-side; paths are tens of nodes).  Returns
+    ``[L, 2]`` (x, y) map-cell coordinates source-first."""
+    er = np.asarray(grid.edge_right)
+    ed = np.asarray(grid.edge_down)
+    off_x = int(grid.off_x)
+    off_y = int(grid.off_y)
+    j, i = int(target_ji[0]), int(target_ji[1])
+    ny, nx = dist.shape
+    if dist[i, j] >= int(INF):
+        return np.zeros((0, 2), np.int32)
+    path = [(j, i)]
+    while dist[i, j] > 0:
+        d = dist[i, j]
+        moved = False
+        for (dj, di, ok) in (
+                (-1, 0, j > 0 and er[i, j - 1]),
+                (1, 0, j < nx - 1 and er[i, j]),
+                (0, -1, i > 0 and ed[i - 1, j]),
+                (0, 1, i < ny - 1 and ed[i, j])):
+            if ok and dist[i + di, j + dj] == d - 1:
+                j, i = j + dj, i + di
+                path.append((j, i))
+                moved = True
+                break
+        if not moved:  # defensive: inconsistent field
+            break
+    path.reverse()
+    cells = np.asarray(
+        [(off_x + j * step, off_y + i * step) for j, i in path],
+        np.int32)
+    return cells

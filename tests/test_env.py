@@ -1,0 +1,119 @@
+"""Grid-world environment tests: rendering, physics, phases, metrics."""
+
+import numpy as np
+
+from mass_tpu import taxonomy
+from mass_tpu.config import CameraConfig
+from mass_tpu.env.gridworld import GridWorld, ObjectInstance
+from mass_tpu.env.protocol import AgentPose
+from mass_tpu.env import rearrange as RR
+
+CAM = CameraConfig(height=48, width=48)
+
+
+def _simple_world():
+    w = GridWorld((6.0, 2.5, 6.0))
+    w.objects.append(ObjectInstance(
+        name="Mug_0", class_id=taxonomy.class_id("Mug"),
+        position=np.asarray([3.0, 0.0, 4.0]),
+        size=np.asarray([0.4, 0.4, 0.4])))
+    return w
+
+
+def test_render_shapes_and_depth_sanity():
+    w = _simple_world()
+    pose = AgentPose(x=3.0, y=0.0, z=1.0, rotation_degrees=0.0,
+                     horizon_degrees=0.0)
+    rgb, depth, sem = w.render(CAM, pose)
+    assert rgb.shape == (48, 48, 3) and depth.shape == (48, 48, 1)
+    assert sem.shape == (48, 48, 1)
+    # facing +z: far wall at z=6 -> planar depth 5 at the centre row
+    centre = depth[24, 24, 0]
+    assert 2.0 < centre <= 5.01
+    # the mug (at z=4, x=3, dead ahead) appears in the semantic image
+    assert (sem == taxonomy.class_id("Mug")).any()
+    # walls/floor are OccupiedSpace
+    assert (sem == 0).any()
+
+
+def test_move_and_collision():
+    ep = RR.generate_episode(0, num_objects=3, num_misplaced=1,
+                             num_opened=0, camera=CAM)
+    phase = RR.Phase(ep, walkthrough=True)
+    names = phase.action_names()
+    r = phase.step(names.index("rotate_left"))
+    assert r.action_success
+    # walk forward into a wall eventually fails
+    successes = [phase.step(names.index("move_ahead")).action_success
+                 for _ in range(40)]
+    assert not successes[-1]
+
+
+def test_pickup_and_snap_drop_fixes_object():
+    ep = RR.generate_episode(3, num_objects=4, num_misplaced=2,
+                             num_opened=0, camera=CAM)
+    start, goal, _ = ep.env.poses
+    moved = [i for i, (s, g) in enumerate(zip(start, goal))
+             if not RR.are_poses_equal(s, g)]
+    assert moved
+    idx = moved[0]
+    obj = ep.world.objects[idx]
+    cls = obj.class_id
+
+    phase = RR.Phase(ep, walkthrough=False)
+    names = phase.action_names()
+    # teleport next to the object, pick it up
+    ep.pose.x, ep.pose.z = float(obj.position[0] + 0.5), \
+        float(obj.position[2])
+    act = names.index(
+        f"pickup_{RR.snake_case(taxonomy.CLASS_NAMES[cls])}")
+    assert phase.step(act).action_success
+    assert ep.held is not None
+    # teleport near the goal pose and snap-drop
+    gobj = ep.goal_world.objects[idx]
+    ep.pose.x, ep.pose.z = float(gobj.position[0] + 0.3), \
+        float(gobj.position[2])
+    assert phase.step(
+        names.index("drop_held_object_with_snap")).action_success
+    _, _, current = ep.env.poses
+    assert RR.are_poses_equal(current[idx], goal[idx])
+    m = phase.metrics()
+    assert m["unshuffle/num_fixed"] >= 1
+
+
+def test_open_by_type():
+    ep = RR.generate_episode(5, num_objects=2, num_misplaced=0,
+                             num_opened=1, camera=CAM)
+    start, goal, _ = ep.env.poses
+    opened = [i for i, (s, g) in enumerate(zip(start, goal))
+              if not RR.are_poses_equal(s, g)]
+    assert opened
+    idx = opened[0]
+    obj = ep.world.objects[idx]
+    phase = RR.Phase(ep, walkthrough=False)
+    names = phase.action_names()
+    ep.pose.x, ep.pose.z = float(obj.position[0] + 0.6), \
+        float(obj.position[2])
+    act = names.index(
+        f"open_by_type_{RR.snake_case(taxonomy.CLASS_NAMES[obj.class_id])}")
+    assert phase.step(act).action_success
+    assert phase.metrics()["unshuffle/num_misplaced"] == 0
+
+
+def test_metrics_initial_state():
+    ep = RR.generate_episode(7, num_objects=5, num_misplaced=2,
+                             num_opened=1, camera=CAM)
+    phase = RR.Phase(ep, walkthrough=False)
+    m = phase.metrics()
+    assert m["unshuffle/num_initially_misplaced"] >= 2
+    assert m["unshuffle/prop_fixed_strict"] == 0.0
+    assert m["unshuffle/success"] == 0.0
+
+
+def test_sampler_alternates_phases():
+    sampler = RR.GridWorldTaskSampler([0, 1], camera=CAM)
+    t1 = sampler.next_task()
+    t2 = sampler.next_task()
+    t3 = sampler.next_task()
+    assert t1.walkthrough and not t2.walkthrough and t3.walkthrough
+    assert t1.episode is t2.episode and t3.episode is not t1.episode
