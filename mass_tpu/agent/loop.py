@@ -1,0 +1,368 @@
+"""The two-phase rearrangement episode driver.
+
+Orchestrates the full agent (reference: agent.py:120-662): build the
+walkthrough semantic map while exploring, rebuild a second map in the
+shuffled scene, diff the maps to find displaced objects, and navigate /
+pick / place to fix them — with the reference's GT-injection ablations,
+exploration budgets, analytics, and per-task outputs.
+
+The heavy per-step math (map scatter, traversability, BFS planning,
+policy goal sampling, map differencing) is all jitted device work; this
+module is the thin sequential host loop the simulator forces
+(SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mass_tpu import taxonomy
+from mass_tpu.agent import metrics as M
+from mass_tpu.agent import oracle
+from mass_tpu.config import AgentConfig, CameraConfig
+from mass_tpu.env.gridworld import snake_case
+from mass_tpu.maps import FeatureMap, MapSet, OccupancyMap, SemanticMap
+from mass_tpu.match.differences import predict_scene_differences
+from mass_tpu.nav.controller import NavigationController
+from mass_tpu.search import policy as search_policy
+from mass_tpu.utils import visualization as viz
+
+PHASE_ONE_MAPS = ["occupancy", "semantic0", "feature0"]
+PHASE_TWO_MAPS = ["semantic1", "feature1"]
+
+
+class RearrangementAgent:
+    """Runs rearrangement episodes from a task sampler.
+
+    Args:
+      config: full agent configuration (flag surface of agent.py).
+      sampler: walkthrough/unshuffle alternating task source.
+      policy_params: semantic-search policy weights (flax), or None.
+      feature_backbone: RGB -> [h/4, w/4, F] embedding fn for feature
+        matching, required when config.use_feature_matching.
+      video_writer_factory: optional ``task_id -> writer`` with
+        ``write(frame_uint8)`` / ``close()`` for episode videos.
+    """
+
+    def __init__(self, config: AgentConfig, sampler,
+                 policy_params=None,
+                 feature_backbone: Optional[Callable] = None,
+                 feature_size: int = 256,
+                 video_writer_factory: Optional[Callable] = None,
+                 rng: Optional[np.random.RandomState] = None):
+        self.config = config
+        self.sampler = sampler
+        self.policy_params = policy_params
+        self.video_writer_factory = video_writer_factory
+        self.rng = rng or np.random.RandomState(0)
+
+        cam = config.camera
+        geo_kw = dict(map_height=config.map_height,
+                      map_width=config.map_width,
+                      map_depth=config.map_depth,
+                      grid_resolution=config.grid_resolution)
+        self.maps = MapSet(
+            occupancy=OccupancyMap(cam, **geo_kw),
+            semantic0=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw),
+            semantic1=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw))
+        if config.use_feature_matching:
+            assert feature_backbone is not None, (
+                "feature matching needs a backbone")
+            self.maps["feature0"] = FeatureMap(
+                cam, feature_size, feature_backbone, **geo_kw)
+            self.maps["feature1"] = FeatureMap(
+                cam, feature_size, feature_backbone, **geo_kw)
+
+        self.phase_one = [m for m in PHASE_ONE_MAPS if m in self.maps]
+        self.phase_two = [m for m in PHASE_TWO_MAPS if m in self.maps]
+
+        if policy_params is not None:
+            @jax.jit
+            def _policy_goal_cell(params, vm_data, rng_key):
+                vm = dataclasses.replace(
+                    self.maps["semantic0"].voxel_map, data=vm_data)
+                top = vm.max_over_depth()[None]
+                return search_policy.sample_goal_cell(params, top,
+                                                      rng_key)[0]
+            self._policy_goal_cell = _policy_goal_cell
+        self._policy_key = jax.random.PRNGKey(self.rng.randint(1 << 30))
+
+    # ------------------------------------------------------- goal heads
+
+    def _policy_goal(self, semantic_name: str) -> np.ndarray:
+        """Semantic-search goal: categorical sample over policy scores of
+        the z-collapsed semantic map (reference: agent.py:328-339)."""
+        layer = self.maps[semantic_name]
+        self._policy_key, sub = jax.random.split(self._policy_key)
+        cell = self._policy_goal_cell(self.policy_params,
+                                      layer.voxel_map.data, sub)
+        return np.asarray(layer.map_to_world(
+            cell.astype(jnp.float32)))
+
+    def _next_goal(self, controller, semantic_name: str,
+                   gt_goals: List[np.ndarray],
+                   use_policy: bool) -> np.ndarray:
+        goal = controller.sample_navigation_goal({})
+        if gt_goals:
+            return gt_goals.pop(0)
+        if use_policy and self.policy_params is not None:
+            return self._policy_goal(semantic_name)
+        return goal
+
+    # -------------------------------------------------------- phases
+
+    def _explore(self, controller, budget: int, semantic_name: str,
+                 update_maps: List[str], gt_goals: List[np.ndarray],
+                 use_policy: bool, callback, tracker) -> None:
+        num_goals = 0
+        while not controller.task.is_done() and num_goals < budget:
+            num_goals += 1
+            goal = self._next_goal(controller, semantic_name, gt_goals,
+                                   use_policy)
+            for obs in controller.navigate_to(goal,
+                                              update_map=update_maps):
+                if callback is not None:
+                    callback(obs)
+                if tracker is not None:
+                    loc = controller.task.agent_location()
+                    tracker.append(np.asarray([loc.x, loc.z]))
+
+    def _rearrange(self, controller, object_ids_to_move,
+                   objects_moved: set, callback, tracker) -> None:
+        """Detection/match/fix loop (reference: agent.py:424-527)."""
+        cfg = self.config
+        task = controller.task
+        names = task.action_names()
+        fm0 = self.maps.get("feature0")
+        fm1 = self.maps.get("feature1")
+
+        while not task.is_done():
+            candidates = (object_ids_to_move
+                          if cfg.ground_truth_disagreement
+                          else range(taxonomy.NUM_CLASSES))
+            cls, goals0, goals1 = predict_scene_differences(
+                self.maps["semantic0"].voxel_map,
+                self.maps["semantic1"].voxel_map,
+                fm0.voxel_map if fm0 else None,
+                fm1.voxel_map if fm1 else None,
+                objects_moved, candidates, cfg.match)
+            if cls is None or task.is_done():
+                return
+            objects_moved.add(cls)
+
+            # fix farthest-moved instances first to avoid conflicts
+            # (reference: agent.py:454-465)
+            d = np.linalg.norm(
+                np.stack(goals0)[:, None] - np.stack(goals1)[None],
+                axis=-1)
+            order = np.argsort(-d.min(axis=1))
+            goals0 = [goals0[i] for i in order]
+            goals1 = [goals1[i] for i in order]
+
+            cname = taxonomy.CLASS_NAMES[cls]
+            pickable = taxonomy.ID_TO_PICKABLE[cls]
+            grab = (f"pickup_{snake_case(cname)}" if pickable
+                    else f"open_by_type_{snake_case(cname)}")
+
+            for goal0, goal1 in zip(goals0, goals1):
+                for obs in controller.navigate_to(
+                        goal1, update_map=self.phase_two):
+                    if callback is not None:
+                        callback(obs)
+                    if tracker is not None:
+                        loc = task.agent_location()
+                        tracker.append(np.asarray([loc.x, loc.z]))
+                if task.is_done():
+                    return
+                task.step(names.index(grab))
+                if task.is_done():
+                    return
+                if not pickable:
+                    continue
+                for obs in controller.navigate_to(
+                        goal0, update_map=self.phase_two):
+                    if callback is not None:
+                        callback(obs)
+                    if tracker is not None:
+                        loc = task.agent_location()
+                        tracker.append(np.asarray([loc.x, loc.z]))
+                if task.is_done():
+                    return
+                task.step(names.index("drop_held_object_with_snap"))
+                if task.is_done():
+                    return
+
+    # ----------------------------------------------------------- tasks
+
+    def run_task(self, task_id: int) -> Dict:
+        cfg = self.config
+        walkthrough = self.sampler.next_task()
+
+        loc = walkthrough.agent_location()
+        self.maps.reset_all((loc.x, loc.z, loc.y))
+        controller = NavigationController(
+            walkthrough, "occupancy", self.maps, cfg.nav, rng=self.rng)
+
+        writer = (self.video_writer_factory(task_id)
+                  if self.video_writer_factory else None)
+        callback = self._make_callback(controller, writer) \
+            if writer else None
+
+        # the agent behaves better looking down (reference:
+        # agent.py:310-312)
+        walkthrough.step(walkthrough.action_names().index("look_down"))
+
+        # --- GT prep + analytics (on the episode's pose metadata)
+        analytics = self._initial_analytics(walkthrough)
+        gt_goals_walk, gt_goals_unshuffle = [], []
+        if cfg.ground_truth_semantic_search:
+            for cur, target in oracle.scene_difference_positions(
+                    walkthrough):
+                gt_goals_walk.append(target)
+                gt_goals_unshuffle.append(cur)
+
+        walk_track: Optional[List] = ([] if cfg.record_found_objects
+                                      else None)
+        unshuffle_track: Optional[List] = ([] if cfg.record_found_objects
+                                           else None)
+
+        # --- walkthrough exploration
+        self._explore(controller, cfg.exploration_budget_one,
+                      "semantic0", self.phase_one, gt_goals_walk,
+                      cfg.semantic_search_walkthrough, callback,
+                      walk_track)
+
+        # --- phase switch
+        unshuffle = self.sampler.next_task()
+        controller.task = unshuffle
+        unshuffle.step(unshuffle.action_names().index("look_down"))
+
+        object_ids_to_move = {
+            taxonomy.CLASS_NAMES.index(n)
+            for n in oracle.scene_difference_types(unshuffle)}
+        print(f"[Task={task_id}] Ground truth: " + ", ".join(
+            taxonomy.CLASS_NAMES[i] for i in object_ids_to_move))
+
+        object_positions = np.asarray(
+            [p[0][:2] for p in
+             oracle.scene_difference_positions(unshuffle)]) \
+            if cfg.record_found_objects else np.zeros((0, 2))
+
+        # --- unshuffle exploration
+        self._explore(controller, cfg.exploration_budget_two,
+                      "semantic1", self.phase_two, gt_goals_unshuffle,
+                      cfg.semantic_search_unshuffle, callback,
+                      unshuffle_track)
+
+        # --- rearrangement
+        objects_moved: set = set()
+        self._rearrange(controller, object_ids_to_move, objects_moved,
+                        callback, unshuffle_track)
+
+        if not unshuffle.is_done():
+            unshuffle.step(unshuffle.action_names().index("done"))
+        if writer is not None:
+            writer.close()
+
+        # --- outputs
+        self._final_analytics(unshuffle, analytics)
+        results = unshuffle.metrics()
+        results["unshuffle/objects_moved"] = [
+            taxonomy.CLASS_NAMES[i] for i in objects_moved]
+        results["unshuffle/objects_moved_accuracy"] = [
+            1 if i in object_ids_to_move else 0 for i in objects_moved]
+        results["unshuffle/objects_to_move"] = [
+            taxonomy.CLASS_NAMES[i] for i in object_ids_to_move]
+        results["unshuffle/objects_to_move_accuracy"] = [
+            1 if i in objects_moved else 0 for i in object_ids_to_move]
+
+        if cfg.logdir:
+            M.write_task_metrics(cfg.logdir, task_id, results)
+            M.write_analytics(cfg.logdir, task_id, analytics)
+            if cfg.record_found_objects:
+                M.write_found_objects(cfg.logdir, task_id,
+                                      "walkthrough", walk_track or [],
+                                      object_positions)
+                M.write_found_objects(cfg.logdir, task_id, "unshuffle",
+                                      unshuffle_track or [],
+                                      object_positions)
+        return results
+
+    def run(self) -> List[Dict]:
+        """Run the configured task range, advancing the config cursor so
+        crash restarts resume after completed tasks (reference:
+        agent.py:657-662)."""
+        cfg = self.config
+        if cfg.logdir:
+            os.makedirs(os.path.join(cfg.logdir, "results"),
+                        exist_ok=True)
+            os.makedirs(os.path.join(cfg.logdir, "videos"),
+                        exist_ok=True)
+        all_metrics = []
+        while cfg.total_tasks > 0:
+            task_id = cfg.start_task
+            all_metrics.append(self.run_task(task_id))
+            for _ in range(cfg.every_tasks - 1):
+                self.sampler.skip_task()
+            object.__setattr__(cfg, "start_task",
+                               cfg.start_task + cfg.every_tasks)
+            object.__setattr__(cfg, "total_tasks", cfg.total_tasks - 1)
+        return all_metrics
+
+    # ------------------------------------------------------- analytics
+
+    @staticmethod
+    def _initial_analytics(task) -> List[Dict]:
+        start, goal, current = task.env.poses
+        pick = set(taxonomy.PICKABLE_TO_COLOR)
+        openb = set(taxonomy.OPENABLE_TO_COLOR)
+        return [M.object_analytics_record(
+            c, g, current, task.env.are_poses_equal, pick, openb,
+            "initial") for c, g in zip(start, goal)]
+
+    @staticmethod
+    def _final_analytics(task, records: List[Dict]) -> None:
+        start, goal, current = task.env.poses
+        pick = set(taxonomy.PICKABLE_TO_COLOR)
+        openb = set(taxonomy.OPENABLE_TO_COLOR)
+        for rec, c, g in zip(records, current, goal):
+            rec.update(M.object_analytics_record(
+                c, g, current, task.env.are_poses_equal, pick, openb,
+                "final"))
+        counts: Dict[str, int] = {}
+        for rec in records:
+            counts[rec["type"]] = counts.get(rec["type"], 0) + 1
+        for rec in records:
+            rec["num_instances"] = counts[rec["type"]]
+
+    # ----------------------------------------------------------- video
+
+    def _make_callback(self, controller, writer):
+        def callback(obs):
+            occ = self.maps["occupancy"].voxel_map
+            cell = np.asarray(occ.world_to_map(
+                jnp.asarray(obs["position"], jnp.float32)))
+            path_cells = None
+            if "path" in obs:
+                path_cells = np.asarray(occ.world_to_map(
+                    jnp.asarray(obs["path"], jnp.float32)))
+            cfg = self.config
+            frame = viz.episode_frame(
+                np.asarray(obs["rgb"], np.float32),
+                viz.render_occupancy(
+                    occ, cell, obs.get("yaw", 0.0), path_cells,
+                    cfg.nav.map_slice_start, cfg.nav.map_slice_stop),
+                viz.render_semantic(
+                    self.maps["semantic0"].voxel_map, 0,
+                    cfg.nav.map_slice_stop),
+                viz.render_semantic(
+                    self.maps["semantic1"].voxel_map, 0,
+                    cfg.nav.map_slice_stop))
+            writer.write((frame * 255).astype(np.uint8))
+        return callback

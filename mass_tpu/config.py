@@ -87,6 +87,9 @@ class NavConfig:
     position_noise_std: float = 0.0
     rotation_noise_std: float = 0.0
     graph_update_interval: int = 20
+    # cap on steps spent pursuing a single navigation goal (0 = only the
+    # phase budget limits it, as in the reference)
+    max_goal_steps: int = 80
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,6 +25,10 @@ ROTATE_DEGREES = 90.0
 LOOK_DEGREES = 30.0
 POSITION_TOLERANCE = 0.35
 OPENNESS_TOLERANCE = 0.2
+# reported agent y is camera-aligned, like THOR's agent location (the
+# mapper subtracts only the crouch offset; reference:
+# mass/navigation_policy.py:92-96)
+CAMERA_HEIGHT = 1.575
 
 
 def action_names() -> List[str]:
@@ -86,7 +90,9 @@ class _Env:
         return are_poses_equal(a, b)
 
     def get_agent_location(self):
-        return self._episode.pose.as_location_dict()
+        pose = self._episode.pose
+        return dataclasses.replace(
+            pose, y=pose.y + CAMERA_HEIGHT).as_location_dict()
 
 
 class RearrangeEpisode:
@@ -134,7 +140,8 @@ class Phase:
         return self._done or self.steps_taken >= self.episode.max_steps
 
     def agent_location(self) -> AgentPose:
-        return self.episode.pose
+        pose = self.episode.pose
+        return dataclasses.replace(pose, y=pose.y + CAMERA_HEIGHT)
 
     def get_observations(self) -> Dict:
         ep = self.episode

@@ -124,13 +124,21 @@ class NavigationController:
             jnp.asarray(world_xy, jnp.float32)[..., :2]))
 
     def _source_field(self, position) -> tuple:
+        """BFS field seeded from all alive nodes near the agent — robust
+        when the agent's own node was pruned or isolated (it routinely
+        stands inside an obstacle's padded zone while manipulating)."""
         cell = self._cell_of_world(position)
         s = self.config.step_size
+        seeds = NG.seeds_near_cell(self.nav_grid, jnp.asarray(cell), s,
+                                   radius_cells=2 * s)
         src = NG.nearest_node(
-            self.nav_grid, NG.distance_field(
-                self.nav_grid, jnp.int32(0), jnp.int32(0)) * 0,
+            self.nav_grid,
+            jnp.zeros(self.nav_grid.alive.shape, jnp.int32),
             jnp.asarray(cell), s, reachable_only=False)
-        dist = NG.distance_field(self.nav_grid, src[0], src[1])
+        if not bool(seeds.any()):
+            seeds = jnp.zeros(self.nav_grid.alive.shape,
+                              jnp.bool_).at[src[1], src[0]].set(True)
+        dist = NG.distance_field_from_seeds(self.nav_grid, seeds)
         return src, dist
 
     def shortest_path(self, source_world, target_world) -> np.ndarray:
@@ -207,10 +215,37 @@ class NavigationController:
         path = self.shortest_path(observations["position"], goal)
         observations["path"] = path
 
+        # arrived: standing (within a node's reach) on the closest
+        # reachable node to the goal.  The reference terminates on path
+        # length 1, which requires the agent to land exactly on the node
+        # — true only when its move lattice aligns with map cells; the
+        # radius generalizes that without changing aligned behavior.
+        arrival = 0.75 * self.config.step_size * \
+            self._occupancy_vm().geometry.grid_resolution
+        pos = np.asarray(observations["position"][:2])
+        if np.linalg.norm(np.asarray(path[-1][:2]) - pos) <= arrival:
+            observations["heading"] = 0.0
+            return None
+
         if np.allclose(observations["position"][:2], goal[:2]):
             heading = 0.0
         else:
-            waypoint = goal if path.shape[0] == 1 else path[1]
+            # pure-pursuit waypoint: the farthest-along path point within
+            # a lookahead radius.  The agent walks on its own 0.25 m
+            # lattice, which generally does not coincide with nav nodes;
+            # steering at the nearest node oscillates when it falls
+            # behind the agent (the reference masks this by making node
+            # spacing equal the move magnitude)
+            pos = np.asarray(observations["position"][:2])
+            lookahead = 0.36
+            waypoint = path[1] if path.shape[0] > 1 else goal
+            for cand in path[1:]:
+                if np.linalg.norm(np.asarray(cand[:2]) - pos) \
+                        <= lookahead:
+                    waypoint = cand
+            if np.linalg.norm(np.asarray(path[-1][:2]) - pos) \
+                    <= lookahead:
+                waypoint = goal
             heading = self.get_heading(observations, waypoint)
         observations["heading"] = heading
 
@@ -251,12 +286,20 @@ class NavigationController:
 
     # --------------------------------------------------------- rollout
 
-    def navigate_to(self, goal, update_map=None) -> Iterator[Dict]:
+    def navigate_to(self, goal, update_map=None,
+                    max_steps: Optional[int] = None) -> Iterator[Dict]:
         """Generator: walk toward ``goal``, yielding each observation
         (for visualization), stepping the simulator, pruning the mesh on
         failures, refreshing it every ``graph_update_interval`` steps
-        (reference: mass/navigation_policy.py:650-726)."""
+        (reference: mass/navigation_policy.py:650-726).
+
+        ``max_steps`` bounds one goal pursuit; goals can be genuinely
+        unreachable (sampled beyond an unseen wall, or at an object that
+        moved since the navigation map was built), where the reference
+        burns the remaining phase budget orbiting them.
+        """
         interval = self.config.graph_update_interval
+        max_steps = max_steps or self.config.max_goal_steps
         observations = self.task.get_observations()
         action = self.get_action(observations, goal,
                                  update_map=update_map,
@@ -265,7 +308,8 @@ class NavigationController:
         while True:
             time_step += 1
             yield observations
-            if self.task.is_done() or action is None:
+            if self.task.is_done() or action is None or \
+                    (max_steps and time_step > max_steps):
                 return
             result = self.task.step(action)
             if not result.action_success:

@@ -149,16 +149,18 @@ def refresh_nav_grid(grid: NavGrid, navigable: jax.Array,
 
 
 @jax.jit
-def distance_field(grid: NavGrid, src_j, src_i) -> jax.Array:
-    """BFS hop distances from node (src_j, src_i) over alive nodes and
-    intact edges; INF where unreachable."""
+def distance_field_from_seeds(grid: NavGrid,
+                              seeds: jax.Array) -> jax.Array:
+    """BFS hop distances from a seed node set over alive nodes and
+    intact edges; INF where unreachable.  Multiple seeds make planning
+    robust when the agent's own node has been pruned/isolated (e.g.
+    standing inside an obstacle's padding while manipulating it)."""
     ny, nx = grid.alive.shape
     alive = grid.alive
     er = grid.edge_right & alive & jnp.roll(alive, -1, axis=1)
     ed = grid.edge_down & alive & jnp.roll(alive, -1, axis=0)
 
-    start = (jnp.zeros((ny, nx), jnp.int32) + INF).at[src_i, src_j].set(0)
-    start = jnp.where(alive, start, INF)
+    start = jnp.where(seeds & alive, 0, INF).astype(jnp.int32)
 
     def relax(dist):
         from_left = jnp.where(
@@ -185,6 +187,28 @@ def distance_field(grid: NavGrid, src_j, src_i) -> jax.Array:
     dist, _ = jax.lax.while_loop(cond, body,
                                  (relax(start), jnp.asarray(True)))
     return dist
+
+
+@jax.jit
+def distance_field(grid: NavGrid, src_j, src_i) -> jax.Array:
+    """BFS hop distances from one node (src_j, src_i)."""
+    ny, nx = grid.alive.shape
+    seeds = jnp.zeros((ny, nx), jnp.bool_).at[src_i, src_j].set(True)
+    return distance_field_from_seeds(grid, seeds)
+
+
+@functools.partial(jax.jit, static_argnames=("step", "radius_cells"))
+def seeds_near_cell(grid: NavGrid, cell_xy, step: int,
+                    radius_cells: int) -> jax.Array:
+    """Alive nodes within a Chebyshev map-cell radius of (x, y)."""
+    ny, nx = grid.alive.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    node_x = grid.off_x + jj * step
+    node_y = grid.off_y + ii * step
+    near = (jnp.abs(node_x - cell_xy[0]) <= radius_cells) & \
+           (jnp.abs(node_y - cell_xy[1]) <= radius_cells)
+    return near & grid.alive
 
 
 @functools.partial(jax.jit, static_argnames=("step", "reachable_only"))

@@ -14,10 +14,10 @@ from mass_tpu.maps import MapSet, OccupancyMap, SemanticMap
 from mass_tpu.nav.controller import NavigationController
 
 CAM = CameraConfig(height=48, width=48)
-GEO_KW = dict(map_height=96, map_width=96, map_depth=20,
-              grid_resolution=0.1)
-NAV = NavConfig(step_size=3, obstacle_padding=1, map_slice_start=2,
-                map_slice_stop=12, graph_update_interval=5)
+GEO_KW = dict(map_height=80, map_width=80, map_depth=24,
+              grid_resolution=0.125)
+NAV = NavConfig(step_size=2, obstacle_padding=2, map_slice_start=4,
+                map_slice_stop=16, graph_update_interval=5)
 
 
 def _controller(task):
@@ -56,7 +56,7 @@ def test_walkthrough_builds_map_and_navigates():
     occ = ctl.maps["occupancy"].voxel_map
     assert float(np.asarray(occ.data).sum()) > 0
     sem_mask = np.asarray(
-        ctl.maps["semantic"].voxel_map.occupancy_mask(0, 20))
+        ctl.maps["semantic"].voxel_map.occupancy_mask(0, 24))
     assert sem_mask.any()
     end = ctl.process_position()
     # the agent either reached the goal's vicinity or at least moved
