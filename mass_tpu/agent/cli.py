@@ -1,0 +1,206 @@
+"""Command-line entry point for running rearrangement experiments.
+
+Mirrors the reference's flag surface (reference: agent.py:786-869) with
+a ``--backend`` switch between the THOR gateway and the procedural grid
+world, crash recovery around the run, per-run parameter dumps, and
+optional episode videos.
+
+    python -m mass_tpu.agent.cli --backend gridworld --total-tasks 5 \
+        --ground-truth-segmentation --logdir /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from mass_tpu.agent.loop import RearrangementAgent
+from mass_tpu.agent.reliability import run_with_restart
+from mass_tpu.config import (AgentConfig, CameraConfig, MatchConfig,
+                             NavConfig)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mass_tpu rearrangement agent")
+    p.add_argument("--logdir", type=str, default="./mass-tpu-logs")
+    p.add_argument("--backend", type=str, default="gridworld",
+                   choices=["gridworld", "thor"])
+
+    p.add_argument("--stage", type=str, default="train")
+    p.add_argument("--start-task", type=int, default=0)
+    p.add_argument("--every-tasks", type=int, default=1)
+    p.add_argument("--total-tasks", type=int, default=50)
+
+    p.add_argument("--ground-truth-segmentation", action="store_true")
+    p.add_argument("--ground-truth-disagreement", action="store_true")
+    p.add_argument("--ground-truth-semantic-search", action="store_true")
+    p.add_argument("--semantic-search-walkthrough", action="store_true")
+    p.add_argument("--semantic-search-unshuffle", action="store_true")
+    p.add_argument("--use-feature-matching", action="store_true")
+    p.add_argument("--record-found-objects", action="store_true")
+
+    p.add_argument("--exploration-budget-one", type=int, default=5)
+    p.add_argument("--exploration-budget-two", type=int, default=5)
+    p.add_argument("--detection-threshold", type=float, default=0.9)
+
+    p.add_argument("--map-height", type=int, default=384)
+    p.add_argument("--map-width", type=int, default=384)
+    p.add_argument("--map-depth", type=int, default=96)
+    p.add_argument("--grid-resolution", type=float, default=0.05)
+    p.add_argument("--map-slice-start", type=int, default=20)
+    p.add_argument("--map-slice-stop", type=int, default=48)
+    p.add_argument("--vertical-fov", type=float, default=90.0)
+    p.add_argument("--camera-size", type=int, default=224)
+
+    p.add_argument("--obstacle-threshold", type=float, default=0.0)
+    p.add_argument("--obstacle-padding", type=int, default=1)
+    p.add_argument("--step-size", type=int, default=5)
+    p.add_argument("--max-goal-steps", type=int, default=80)
+
+    p.add_argument("--contour-padding", type=int, default=0)
+    p.add_argument("--contour-threshold", type=float, default=0.0)
+    p.add_argument("--confidence-threshold", type=float, default=0.0)
+    p.add_argument("--distance-threshold", type=float, default=0.05)
+    p.add_argument("--deformation-threshold", type=float, default=0.0)
+
+    p.add_argument("--position-noise-std", type=float, default=0.0)
+    p.add_argument("--rotation-noise-std", type=float, default=0.0)
+
+    p.add_argument("--policy-checkpoint", type=str, default=None,
+                   help="torch policy.pth or orbax dir for the "
+                        "semantic-search policy")
+    p.add_argument("--videos", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def config_from_args(args) -> AgentConfig:
+    return AgentConfig(
+        camera=CameraConfig(height=args.camera_size,
+                            width=args.camera_size,
+                            vertical_fov_degrees=args.vertical_fov),
+        map_height=args.map_height, map_width=args.map_width,
+        map_depth=args.map_depth, grid_resolution=args.grid_resolution,
+        nav=NavConfig(step_size=args.step_size,
+                      obstacle_padding=args.obstacle_padding,
+                      obstacle_threshold=args.obstacle_threshold,
+                      map_slice_start=args.map_slice_start,
+                      map_slice_stop=args.map_slice_stop,
+                      position_noise_std=args.position_noise_std,
+                      rotation_noise_std=args.rotation_noise_std,
+                      max_goal_steps=args.max_goal_steps),
+        match=MatchConfig(
+            confidence_threshold=args.confidence_threshold,
+            contour_padding=args.contour_padding,
+            contour_threshold=args.contour_threshold,
+            distance_threshold=args.distance_threshold,
+            deformation_threshold=args.deformation_threshold),
+        exploration_budget_one=args.exploration_budget_one,
+        exploration_budget_two=args.exploration_budget_two,
+        detection_threshold=args.detection_threshold,
+        ground_truth_segmentation=args.ground_truth_segmentation,
+        ground_truth_disagreement=args.ground_truth_disagreement,
+        ground_truth_semantic_search=args.ground_truth_semantic_search,
+        semantic_search_walkthrough=args.semantic_search_walkthrough,
+        semantic_search_unshuffle=args.semantic_search_unshuffle,
+        use_feature_matching=args.use_feature_matching,
+        record_found_objects=args.record_found_objects,
+        logdir=args.logdir, stage=args.stage,
+        start_task=args.start_task, every_tasks=args.every_tasks,
+        total_tasks=args.total_tasks)
+
+
+def make_sampler(args, config: AgentConfig):
+    if args.backend == "thor":
+        from mass_tpu.env.thor import ThorTaskSampler
+        return ThorTaskSampler(
+            stage=args.stage,
+            ground_truth=args.ground_truth_segmentation,
+            detection_threshold=args.detection_threshold,
+            screen_size=args.camera_size)
+    from mass_tpu.env.rearrange import GridWorldTaskSampler
+    seeds = range(args.start_task,
+                  args.start_task +
+                  args.total_tasks * args.every_tasks + 1)
+    return GridWorldTaskSampler(list(seeds), camera=config.camera)
+
+
+def load_policy(path: Optional[str]):
+    if path is None:
+        return None
+    if path.endswith(".pth"):
+        from mass_tpu.search.policy import load_reference_policy
+        return load_reference_policy(path)
+    from mass_tpu.utils.checkpoint import load_pytree
+    return load_pytree(path)
+
+
+def make_video_factory(args):
+    if not args.videos:
+        return None
+    import imageio
+
+    def factory(task_id: int):
+        os.makedirs(os.path.join(args.logdir, "videos"), exist_ok=True)
+        try:  # mp4 needs an ffmpeg backend; fall back to gif
+            path = os.path.join(args.logdir, "videos",
+                                f"{task_id}.mp4")
+            writer = imageio.get_writer(path, fps=10)
+        except (ValueError, ImportError):
+            path = os.path.join(args.logdir, "videos",
+                                f"{task_id}.gif")
+            writer = imageio.get_writer(path, fps=10)
+
+        class _W:
+            def write(self, frame):
+                writer.append_data(frame)
+
+            def close(self):
+                writer.close()
+
+        return _W()
+
+    return factory
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.logdir, exist_ok=True)
+    name = (f"{args.start_task}-"
+            f"{args.start_task + args.total_tasks * args.every_tasks}")
+    with open(os.path.join(args.logdir, f"params-{name}.json"),
+              "w") as f:
+        json.dump(vars(args), f, indent=4)
+
+    config = config_from_args(args)
+    policy = load_policy(args.policy_checkpoint)
+
+    backbone = None
+    if args.use_feature_matching:
+        from mass_tpu.perception.resnet import load_pretrained_backbone
+        backbone, _ = load_pretrained_backbone()
+
+    def run():
+        sampler = make_sampler(args, config)
+        agent = RearrangementAgent(
+            config, sampler, policy_params=policy,
+            feature_backbone=backbone,
+            video_writer_factory=make_video_factory(args),
+            rng=np.random.RandomState(args.seed))
+        return agent.run()
+
+    metrics = run_with_restart(run)
+    if metrics:
+        keys = ("unshuffle/prop_fixed_strict", "unshuffle/success")
+        means = {k: float(np.mean([m[k] for m in metrics]))
+                 for k in keys}
+        print(json.dumps(means, indent=2))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Semantic segmentation sources: GT color lookup and detector fusion.
+
+Two ways to produce the per-pixel class image consumed by the semantic
+map (reference: mass/thor/segmentation_config.py:273-337):
+
+  * ground truth — THOR renders a colorized segmentation frame; classes
+    are recovered by exact color matching against the taxonomy table,
+    with unknown colors mapped to OccupiedSpace (reference :293-307);
+  * learned — an instance detector's masks are accumulated per class
+    over a confidence threshold and argmaxed per pixel (reference
+    :311-337).
+
+Both are fixed-shape jitted device functions; the detector itself is
+pluggable behind :class:`SegmentationModel`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mass_tpu import taxonomy
+
+
+@functools.partial(jax.jit, static_argnames=())
+def colors_to_classes(seg_frame: jax.Array) -> jax.Array:
+    """``[h, w, 3]`` uint8 color frame -> ``[h, w, 1]`` int32 class ids.
+
+    Exact-match against the class color table (class 0 excluded from
+    matching and used as the fallback, via the reference's 0.1-pad
+    argmax trick — reference: segmentation_config.py:293-307).
+    """
+    colors = jnp.asarray(
+        taxonomy.class_colors_array(normalized=False), jnp.int16)
+    frame = seg_frame.astype(jnp.int16)
+    # [h, w, C-1] exact color match
+    match = jnp.all(frame[:, :, None, :] == colors[None, None, 1:],
+                    axis=-1)
+    padded = jnp.concatenate(
+        [jnp.full(match.shape[:2] + (1,), 0.1),
+         match.astype(jnp.float32)], axis=-1)
+    return jnp.argmax(padded, axis=-1).astype(jnp.int32)[..., None]
+
+
+class Detections(NamedTuple):
+    """Fixed-capacity instance detections for one frame."""
+
+    masks: jax.Array    # [K, h, w] float (0-1 or logits > 0)
+    classes: jax.Array  # [K] int32
+    scores: jax.Array   # [K] float
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def detections_to_semantic(detections: Detections,
+                           detection_threshold: float,
+                           num_classes: int = taxonomy.NUM_CLASSES,
+                           ) -> jax.Array:
+    """Fuse instance masks into a per-pixel class image: accumulate
+    confident instances' masks per class, argmax per pixel, background
+    class 0 where nothing fired (reference:
+    segmentation_config.py:311-337)."""
+    keep = detections.scores >= detection_threshold
+    weights = jnp.where(keep, 1.0, 0.0)
+    onehot = jax.nn.one_hot(detections.classes, num_classes)  # [K, C]
+    acc = jnp.einsum("khw,kc->hwc",
+                     detections.masks * weights[:, None, None], onehot)
+    return jnp.argmax(acc, axis=-1).astype(jnp.int32)[..., None]
+
+
+class SegmentationModel(Protocol):
+    """A pluggable detector: RGB frame -> Detections."""
+
+    def __call__(self, rgb: jax.Array) -> Detections:
+        ...
+
+
+class GroundTruthSegmentation:
+    """Sensor adapter: consumes the simulator's GT frames.
+
+    For the grid world (which emits class ids directly) this is a
+    pass-through; for THOR it color-matches the rendered segmentation
+    frame.
+    """
+
+    def __call__(self, observation) -> np.ndarray:
+        if "semantic" in observation:
+            return np.asarray(observation["semantic"])
+        return np.asarray(colors_to_classes(
+            jnp.asarray(observation["semantic_colors"])))
+
+
+class DetectorSegmentation:
+    """Sensor adapter running a jitted detector + mask fusion."""
+
+    def __init__(self, model: SegmentationModel,
+                 detection_threshold: float = 0.9):
+        self.model = model
+        self.detection_threshold = detection_threshold
+
+    def __call__(self, observation) -> np.ndarray:
+        det = self.model(jnp.asarray(observation["rgb"]))
+        return np.asarray(detections_to_semantic(
+            det, self.detection_threshold))

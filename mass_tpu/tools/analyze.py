@@ -1,0 +1,205 @@
+"""Result analysis and plotting over experiment logdirs.
+
+Covers the reference's visualize_* script family (reference:
+visualize_metrics.py, visualize_budget_ablation.py,
+visualize_detector_ablation.py, visualize_precision_recall.py,
+visualize_found_objects.py, visualize_remainder.py) as subcommands over
+one loader:
+
+    python -m mass_tpu.tools.analyze metrics  DIR [DIR...]
+    python -m mass_tpu.tools.analyze ablation DIR [DIR...] --out x.png
+    python -m mass_tpu.tools.analyze pr       DIR [DIR...]
+    python -m mass_tpu.tools.analyze found    DIR --out found.png
+    python -m mass_tpu.tools.analyze failures DIR [DIR...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+PRIMARY_METRICS = ["unshuffle/prop_fixed_strict", "unshuffle/success",
+                   "unshuffle/num_initially_misplaced",
+                   "unshuffle/num_newly_misplaced"]
+
+
+def load_results(logdir: str) -> List[Dict]:
+    out = []
+    for path in sorted(glob.glob(
+            os.path.join(logdir, "results", "*.json"))):
+        with open(path) as f:
+            rec = json.load(f)
+        rec["_logdir"] = os.path.basename(os.path.normpath(logdir))
+        out.append(rec)
+    return out
+
+
+def mean_ci(values, confidence: float = 0.68):
+    """Mean with a t-interval like the reference's seaborn error bars
+    (reference: visualize_metrics.py:80-95)."""
+    from scipy import stats
+    values = np.asarray(values, np.float64)
+    if len(values) < 2:
+        return float(values.mean()) if len(values) else float("nan"), 0.0
+    half = stats.t.interval(
+        confidence, len(values) - 1, loc=values.mean(),
+        scale=stats.sem(values) + 1e-12)
+    return float(values.mean()), float((half[1] - half[0]) / 2)
+
+
+def metrics_table(logdirs) -> Dict[str, Dict[str, tuple]]:
+    table = {}
+    for logdir in logdirs:
+        recs = load_results(logdir)
+        row = {}
+        for key in PRIMARY_METRICS:
+            vals = [r[key] for r in recs if key in r]
+            row[key] = mean_ci(vals)
+        table[logdir] = row
+    return table
+
+
+def precision_recall(logdirs) -> Dict[str, Dict[str, float]]:
+    """Per-class precision/recall of difference detection from the
+    moved/to-move accuracy fields (reference:
+    visualize_precision_recall.py:33-75)."""
+    stats: Dict[str, Dict[str, int]] = {}
+    for logdir in logdirs:
+        for rec in load_results(logdir):
+            moved = rec.get("unshuffle/objects_moved", [])
+            moved_ok = rec.get("unshuffle/objects_moved_accuracy", [])
+            to_move = rec.get("unshuffle/objects_to_move", [])
+            to_move_ok = rec.get(
+                "unshuffle/objects_to_move_accuracy", [])
+            for name, ok in zip(moved, moved_ok):
+                s = stats.setdefault(name, dict(tp=0, fp=0, fn=0))
+                s["tp" if ok else "fp"] += 1
+            for name, ok in zip(to_move, to_move_ok):
+                if not ok:
+                    stats.setdefault(
+                        name, dict(tp=0, fp=0, fn=0))["fn"] += 1
+    out = {}
+    for name, s in sorted(stats.items()):
+        precision = s["tp"] / max(s["tp"] + s["fp"], 1)
+        recall = s["tp"] / max(s["tp"] + s["fn"], 1)
+        out[name] = dict(precision=precision, recall=recall, **s)
+    return out
+
+
+def failure_modes(logdirs) -> Dict[str, int]:
+    """Stacked failure attribution (reference: visualize_remainder.py):
+    solved / failed-to-detect / failed-to-rearrange / incorrect-object /
+    exceeded-time."""
+    counts = dict(TaskSolved=0, FailedToDetectDisagreement=0,
+                  FailedToRearrangeDisagreement=0,
+                  IncorrectObjectRearranged=0, ExceededTimeLimit=0)
+    for logdir in logdirs:
+        for rec in load_results(logdir):
+            if rec.get("unshuffle/success"):
+                counts["TaskSolved"] += 1
+            elif any(v == 0 for v in rec.get(
+                    "unshuffle/objects_moved_accuracy", [])):
+                counts["IncorrectObjectRearranged"] += 1
+            elif any(v == 0 for v in rec.get(
+                    "unshuffle/objects_to_move_accuracy", [])):
+                counts["FailedToDetectDisagreement"] += 1
+            elif rec.get("unshuffle/ep_length", 0) >= 250:
+                counts["ExceededTimeLimit"] += 1
+            else:
+                counts["FailedToRearrangeDisagreement"] += 1
+    return counts
+
+
+def found_objects_curves(logdir: str, radius: float = 1.0):
+    """% objects approached within ``radius`` vs timestep, from the
+    recorded distance matrices (reference:
+    visualize_found_objects.py:37-107)."""
+    curves = {}
+    for phase in ("walkthrough", "unshuffle"):
+        per_task = []
+        for path in glob.glob(os.path.join(
+                logdir, "results", f"objects-found-{phase}-*.npy")):
+            dist = np.load(path)  # [objects, timesteps]
+            found = np.minimum.accumulate(dist, axis=1) <= radius
+            per_task.append(found.mean(axis=0))
+        if per_task:
+            n = max(len(c) for c in per_task)
+            padded = np.stack([
+                np.pad(c, (0, n - len(c)), constant_values=c[-1])
+                for c in per_task])
+            curves[phase] = padded.mean(axis=0)
+    return curves
+
+
+def _plot_bars(table, out):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    keys = PRIMARY_METRICS[:2]
+    fig, axes = plt.subplots(1, len(keys), figsize=(5 * len(keys), 4))
+    for ax, key in zip(np.atleast_1d(axes), keys):
+        names = list(table)
+        means = [table[n][key][0] for n in names]
+        errs = [table[n][key][1] for n in names]
+        ax.bar(range(len(names)), means, yerr=errs)
+        ax.set_xticks(range(len(names)))
+        ax.set_xticklabels([os.path.basename(os.path.normpath(n))
+                            for n in names], rotation=30, ha="right")
+        ax.set_title(key)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("result analysis")
+    p.add_argument("command", choices=["metrics", "ablation", "pr",
+                                       "found", "failures"])
+    p.add_argument("logdirs", nargs="+")
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--radius", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    if args.command in ("metrics", "ablation"):
+        table = metrics_table(args.logdirs)
+        for name, row in table.items():
+            print(name)
+            for key, (mean, ci) in row.items():
+                print(f"  {key:42s} {mean:8.4f} ± {ci:.4f}")
+        if args.out:
+            _plot_bars(table, args.out)
+    elif args.command == "pr":
+        for name, s in precision_recall(args.logdirs).items():
+            print(f"{name:20s} precision={s['precision']:.3f} "
+                  f"recall={s['recall']:.3f} "
+                  f"(tp={s['tp']} fp={s['fp']} fn={s['fn']})")
+    elif args.command == "failures":
+        for mode, count in failure_modes(args.logdirs).items():
+            print(f"{mode:32s} {count}")
+    elif args.command == "found":
+        curves = found_objects_curves(args.logdirs[0], args.radius)
+        for phase, curve in curves.items():
+            print(f"{phase}: found {curve[-1]*100:.1f}% by step "
+                  f"{len(curve)}")
+        if args.out and curves:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(6, 4))
+            for phase, curve in curves.items():
+                ax.plot(curve * 100, label=phase)
+            ax.set_xlabel("timestep")
+            ax.set_ylabel(f"% objects within {args.radius} m")
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(args.out, dpi=120)
+            print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

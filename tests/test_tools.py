@@ -1,0 +1,97 @@
+"""Smoke tests for the tooling: labels, submission, analysis, dataset."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+
+from mass_tpu.config import CameraConfig, MapGeometry
+from mass_tpu.env.rearrange import GridWorldTaskSampler
+from mass_tpu.tools import analyze, submission
+from mass_tpu.tools.search_labels import dump_labels
+from mass_tpu.tools.detector_dataset import generate, format_dataset
+
+CAM = CameraConfig(height=32, width=32)
+
+
+def test_search_labels(tmp_path):
+    sampler = GridWorldTaskSampler([0, 1], camera=CAM)
+    geo = MapGeometry(64, 64, 16, grid_resolution=0.2)
+    n = dump_labels(sampler, geo, str(tmp_path), 0, 2)
+    assert n >= 1
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("walkthrough-labels") for f in files)
+    arr = np.load(tmp_path / sorted(files)[-1])
+    assert arr.ndim == 2 and arr.shape[1] == 3
+
+
+def _fake_results(tmp_path, name, records):
+    d = tmp_path / name / "results"
+    d.mkdir(parents=True)
+    for i, rec in enumerate(records):
+        with open(d / f"{i}.json", "w") as f:
+            json.dump(rec, f)
+    return str(tmp_path / name)
+
+
+def test_submission_and_analysis(tmp_path):
+    records = [
+        {"unshuffle/prop_fixed_strict": 1.0, "unshuffle/success": 1.0,
+         "unshuffle/num_initially_misplaced": 2,
+         "unshuffle/num_newly_misplaced": 0,
+         "unshuffle/objects_moved": ["Mug"],
+         "unshuffle/objects_moved_accuracy": [1],
+         "unshuffle/objects_to_move": ["Mug"],
+         "unshuffle/objects_to_move_accuracy": [1],
+         "unshuffle/ep_length": 80, "task_id": 0},
+        {"unshuffle/prop_fixed_strict": 0.0, "unshuffle/success": 0.0,
+         "unshuffle/num_initially_misplaced": 1,
+         "unshuffle/num_newly_misplaced": 1,
+         "unshuffle/objects_moved": ["Pen"],
+         "unshuffle/objects_moved_accuracy": [0],
+         "unshuffle/objects_to_move": ["Mug"],
+         "unshuffle/objects_to_move_accuracy": [0],
+         "unshuffle/ep_length": 250, "task_id": 1},
+    ]
+    logdir = _fake_results(tmp_path, "run-a", records)
+
+    out = tmp_path / "submission.json.gz"
+    submission.main(["--logdirs", logdir, "--output", str(out)])
+    with gzip.open(out, "rt") as f:
+        packed = json.load(f)
+    assert len(packed) == 2
+
+    table = analyze.metrics_table([logdir])
+    mean, ci = table[logdir]["unshuffle/prop_fixed_strict"]
+    assert abs(mean - 0.5) < 1e-6 and ci > 0
+
+    pr = analyze.precision_recall([logdir])
+    assert pr["Mug"]["tp"] == 1 and pr["Mug"]["fn"] == 1
+    assert pr["Pen"]["fp"] == 1
+
+    modes = analyze.failure_modes([logdir])
+    assert modes["TaskSolved"] == 1
+    assert modes["IncorrectObjectRearranged"] == 1
+
+
+def test_found_objects_curve(tmp_path):
+    d = tmp_path / "results"
+    d.mkdir()
+    dist = np.asarray([[3.0, 2.0, 0.5, 0.4], [5.0, 4.0, 3.0, 0.9]])
+    np.save(d / "objects-found-walkthrough-0.npy", dist)
+    curves = analyze.found_objects_curves(str(tmp_path))
+    np.testing.assert_allclose(curves["walkthrough"],
+                               [0, 0, 0.5, 1.0])
+
+
+def test_detector_dataset(tmp_path):
+    n = generate(str(tmp_path), total_tasks=1, poses_per_scene=3,
+                 camera_size=32)
+    assert n == 6  # 2 phases x 3 poses
+    tr, va = format_dataset(str(tmp_path), validation_fraction=0.2)
+    assert tr + va == 6 and va >= 1
+    with open(tmp_path / "training.json") as f:
+        recs = json.load(f)
+    assert all("file_name" in r and "annotations" in r for r in recs)
+    assert any(r["annotations"] for r in recs)
