@@ -21,8 +21,8 @@ import numpy as np
 
 CAMERA = 224
 MAP_H, MAP_W, MAP_D, NUM_CLASSES = 384, 384, 96, 54
-FRAMES = int(os.environ.get("BENCH_FRAMES", "30"))
-BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "3"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
+BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "4"))
 
 
 def measure_tpu():

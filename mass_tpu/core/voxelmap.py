@@ -10,10 +10,11 @@ along as static aux data, so jitted functions specialize per geometry.
 Storage is layout-conscious (the part that matters on TPU — see
 ops/scatter.py):
 
-  * ``cmajor`` (one-hot maps: occupancy F=1, semantic F=54): a flat
-    ``[F * V]`` buffer, element ``c * V + v`` — zero lane padding (a
-    naive ``[..., F]`` layout pads F -> 128 lanes: 2.4x memory at F=54,
-    128x at F=1) and scalar-only scatters.
+  * ``cmajor`` (one-hot maps: occupancy F=1, semantic F=54): a
+    channel-major ``[F, V]`` buffer — near-zero padding (a naive
+    ``[..., F]`` layout pads F -> 128 lanes: 2.4x memory at F=54, 128x
+    at F=1), fusable per-voxel broadcasts, and the span layout the
+    Pallas splat kernel streams (ops/pallas_splat.py).
   * ``vmajor`` (dense-feature maps, F a multiple of 128): ``[V, F]`` —
     lane-aligned rows.
 
@@ -33,6 +34,13 @@ import jax.numpy as jnp
 from mass_tpu.config import MapGeometry
 from mass_tpu.core import geometry as G
 from mass_tpu.ops import scatter as S
+from mass_tpu.ops import pallas_splat as PS
+
+
+def _padded_features(g: MapGeometry) -> int:
+    """cmajor maps pad the channel dim to the sublane tile (8) so span
+    DMAs in the splat kernel stay aligned; pad rows are always zero."""
+    return (g.feature_size + 7) // 8 * 8
 
 
 def _resolved_layout(g: MapGeometry) -> str:
@@ -51,7 +59,7 @@ class VoxelMap:
     mass/nn/base_projection_layer.py:162-235).
     """
 
-    data: jax.Array    # [F*V] (cmajor) or [V, F] (vmajor)
+    data: jax.Array    # [F, V] (cmajor) or [V, F] (vmajor)
     bins_x: jax.Array  # [W + 1]
     bins_y: jax.Array  # [H + 1]
     bins_z: jax.Array  # [D + 1]
@@ -72,7 +80,7 @@ class VoxelMap:
         """Fresh zeroed map centred on ``origin`` = (x, y, z) world."""
         g = geometry
         v = g.num_voxels
-        shape = ((g.feature_size * v,)
+        shape = ((_padded_features(g), v)
                  if _resolved_layout(g) == "cmajor"
                  else (v, g.feature_size))
         ox, oy, oz = (jnp.asarray(v_, jnp.float32) for v_ in origin)
@@ -104,7 +112,7 @@ class VoxelMap:
         happen: visualization, map differencing)."""
         g = self.geometry
         if self.layout == "cmajor":
-            return self.data.reshape(
+            return self.data[:g.feature_size].reshape(
                 g.feature_size, g.map_height, g.map_width,
                 g.map_depth).transpose(1, 2, 3, 0)
         return self.data.reshape(g.map_height, g.map_width, g.map_depth,
@@ -114,7 +122,13 @@ class VoxelMap:
         """Inverse of :meth:`grid` — pack a logical grid into storage."""
         g = self.geometry
         if self.layout == "cmajor":
-            data = grid.transpose(3, 0, 1, 2).reshape(-1)
+            data = grid.transpose(3, 0, 1, 2).reshape(
+                g.feature_size, g.num_voxels)
+            pad = _padded_features(g) - g.feature_size
+            if pad:
+                data = jnp.concatenate(
+                    [data, jnp.zeros((pad, g.num_voxels),
+                                     data.dtype)], axis=0)
         else:
             data = grid.reshape(g.num_voxels, g.feature_size)
         return dataclasses.replace(self, data=data)
@@ -135,7 +149,8 @@ class VoxelMap:
                        yaw: jax.Array, elevation: jax.Array,
                        depth: jax.Array, classes: jax.Array,
                        min_ray_depth: float = 0.0,
-                       max_ray_depth: float = 10.0) -> "VoxelMap":
+                       max_ray_depth: float = 10.0,
+                       use_kernel: bool = None) -> "VoxelMap":
         """One-hot fast path: project an ``[h, w]`` integer class image
         (implicit ``one_hot(classes, F)`` features).  The per-step hot
         update for occupancy (classes == 0, F == 1) and semantic maps
@@ -150,9 +165,17 @@ class VoxelMap:
                            min_ray_depth, max_ray_depth)
         ids, weights = S.corner_contributions(
             points, (g.map_height, g.map_width, g.map_depth))
-        data = S.apply_onehot_flat(
-            self.data, ids, weights, classes.reshape(-1), g.num_voxels,
-            g.feature_size, g.interpolation_weight)
+        on_tpu = jax.default_backend() == "tpu"
+        if use_kernel is None:
+            use_kernel = on_tpu and g.num_voxels % PS.SPAN == 0
+        if use_kernel:
+            data = PS.splat_onehot_cmajor(
+                self.data, ids, weights, classes.reshape(-1),
+                g.interpolation_weight, interpret=not on_tpu)
+        else:
+            data = S.apply_onehot_cmajor(
+                self.data, ids, weights, classes.reshape(-1),
+                g.interpolation_weight)
         return dataclasses.replace(self, data=data)
 
     def update(self, rays: jax.Array, position: jax.Array, yaw: jax.Array,
@@ -185,26 +208,16 @@ class VoxelMap:
             data = S.apply_dense_rows(self.data, ids, weights, feats,
                                       g.interpolation_weight)
         else:
-            # dense features onto a cmajor map: per-channel scalar
+            # dense features onto a cmajor map: per-channel row
             # scatters (used by tests / small maps; the production dense
             # maps are vmajor)
             mult, scale = S._blend_fields(
                 ids, weights, g.num_voxels, g.interpolation_weight)
-
-            def mul_channel(c, d):
-                seg = jax.lax.dynamic_slice(
-                    d, (c * g.num_voxels,), (g.num_voxels,))
-                return jax.lax.dynamic_update_slice(
-                    d, seg * mult, (c * g.num_voxels,))
-
-            data = jax.lax.fori_loop(0, g.feature_size, mul_channel,
-                                     self.data)
+            data = self.data * mult[None, :]
             feats8 = jnp.tile(feats, (8, 1))
-            oob = g.feature_size * g.num_voxels
+            safe = jnp.where(ids < g.num_voxels, ids, g.num_voxels)
             for c in range(g.feature_size):
-                vf = jnp.where(ids < g.num_voxels,
-                               c * g.num_voxels + ids, oob)
-                data = data.at[vf].add(
+                data = data.at[c, safe].add(
                     (scale * feats8[:, c]).astype(data.dtype),
                     mode="drop")
         return dataclasses.replace(self, data=data)
@@ -229,7 +242,7 @@ class VoxelMap:
         policy input (reference: agent.py:330-331 ``data.amax(dim=2)``)."""
         g = self.geometry
         if self.layout == "cmajor":
-            per_c = self.data.reshape(
+            per_c = self.data[:g.feature_size].reshape(
                 g.feature_size, g.map_height, g.map_width, g.map_depth)
             return jnp.max(per_c, axis=-1).transpose(1, 2, 0)
         return jnp.max(self.grid(), axis=2)
@@ -240,7 +253,7 @@ class VoxelMap:
         threshold (reference: mass/navigation_policy.py:204-217)."""
         g = self.geometry
         if self.layout == "cmajor":
-            per_c = jnp.abs(self.data.reshape(g.feature_size, -1))
+            per_c = jnp.abs(self.data[:g.feature_size])
             l1 = jnp.sum(per_c, axis=0).reshape(
                 g.map_height, g.map_width, g.map_depth)
         else:

@@ -98,8 +98,8 @@ def find_class_instances(vm: VoxelMap, semantic_category,
     find(feature_map=...) used for --use-feature-matching)."""
     g = vm.geometry
     if vm.layout == "cmajor":
-        per_c = vm.data.reshape(g.feature_size, g.map_height,
-                                g.map_width, g.map_depth)
+        per_c = vm.data[:g.feature_size].reshape(
+            g.feature_size, g.map_height, g.map_width, g.map_depth)
         volume = jax.lax.dynamic_index_in_dim(
             per_c, semantic_category, axis=0, keepdims=False)
     else:
@@ -120,8 +120,8 @@ def find_all_classes(vm: VoxelMap, confidence_threshold: float = 0.2,
     ``find_class_instances`` once candidates are narrowed)."""
     g = vm.geometry
     if vm.layout == "cmajor":
-        volumes = vm.data.reshape(g.feature_size, g.map_height,
-                                  g.map_width, g.map_depth)
+        volumes = vm.data[:g.feature_size].reshape(
+            g.feature_size, g.map_height, g.map_width, g.map_depth)
     else:
         volumes = vm.grid().transpose(3, 0, 1, 2)
 

@@ -1,0 +1,214 @@
+"""Pallas TPU kernel for the one-hot trilinear splat update.
+
+XLA's scatter (and random gather) lowers to a serialized loop on TPU
+(~30 ns per element — 400k corner contributions cost ~40 ms/frame; see
+docs/performance.md).  This kernel reformulates the whole update as
+dense MXU work over sorted voxel-id spans:
+
+  * records (corner contributions) are sorted by voxel id on the XLA
+    side, payloads riding the sort network
+    (ops/scatter.span_sorted_records);
+  * the map is channel-major ``[F, V]``; the grid walks spans of
+    ``SPAN`` consecutive voxel ids (a ``[F, SPAN]`` block streamed
+    through VMEM by the Pallas pipeline);
+  * each span's records (a contiguous sorted range, located via a
+    prefetched ``starts`` table) are DMA'd in aligned chunks and
+    reduced with ONE augmented one-hot matmul per sub-block:
+
+        acc[F+2, span] += Baug^T @ onehot(slot_r)
+        Baug[r, f]   = w_r^2 * [class_r == f]   (additive numerators T)
+        Baug[r, F]   = w_r                       (voxel weight sums W)
+        Baug[r, F+1] = w_r^2                     (squared sums S2)
+
+  * finally the EMA blend is a fused VPU pass over the span:
+        out = in * (1 - iw*S2/W) + iw*T/W        (identity where W == 0)
+
+This computes exactly the reference semantics (reference:
+mass/utils/projection.py:233-351) — per-voxel reductions are dense
+per-slot quantities, so no per-record gathers, segment scans, or
+scatters exist anywhere in the pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# span of voxel ids per grid step; records move in CHUNK-sized DMAs
+# (1-D VMEM tiling requires 1024-aligned slices) and are applied in SUB-
+# sized sub-blocks (the [SUB, SPAN] one-hot must fit VMEM alongside the
+# map block)
+SPAN = 2048
+CHUNK = 1024
+SUB = 256
+
+
+def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
+            ids_ref, w_ref, cls_ref,                 # records in HBM
+            map_hbm_in, map_hbm_out,                 # [F, V] in HBM
+            rec_ids, rec_w, rec_cls,                 # [CHUNK] VMEM
+            span_buf,                                # [F, SPAN] VMEM
+            sems,                                    # 4 DMA semaphores
+            *, num_features: int, interpolation_weight: float):
+    """Grid step = one voxel-id span.  Untouched spans are skipped
+    entirely (the map output aliases the input, so skipped spans keep
+    their contents with zero HBM traffic)."""
+    i = pl.program_id(0)
+    start = starts_ref[i]
+    end = starts_ref[i + 1]
+    count = end - start
+    # record DMAs must start 1024-aligned: cover [align_down(start), end)
+    # and mask to the true range (stray records belong to other spans)
+    aligned = (start // CHUNK) * CHUNK
+    base = i * SPAN
+
+    @pl.when(count > 0)
+    def _process():
+        load = pltpu.make_async_copy(
+            map_hbm_in.at[:, pl.ds(base, SPAN)], span_buf, sems.at[3])
+        load.start()
+        _accumulate_and_blend(
+            starts_ref, ids_ref, w_ref, cls_ref, map_hbm_out, rec_ids,
+            rec_w, rec_cls, span_buf, sems, i, start, end, count,
+            aligned, base, load, num_features, interpolation_weight)
+
+
+def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
+                          map_hbm_out, rec_ids, rec_w, rec_cls,
+                          span_buf, sems, i, start, end, count, aligned,
+                          base, load, num_features,
+                          interpolation_weight):
+    def body(acc):
+        acc[:] = jnp.zeros_like(acc)
+
+        def chunk_body(k, _):
+            off = pl.multiple_of(aligned + k * CHUNK, CHUNK)
+            copies = [
+                pltpu.make_async_copy(
+                    ids_ref.at[pl.ds(off, CHUNK)], rec_ids, sems.at[0]),
+                pltpu.make_async_copy(
+                    w_ref.at[pl.ds(off, CHUNK)], rec_w, sems.at[1]),
+                pltpu.make_async_copy(
+                    cls_ref.at[pl.ds(off, CHUNK)], rec_cls, sems.at[2]),
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+            all_ids = rec_ids[:]
+            all_w = rec_w[:]
+            all_cls = rec_cls[:]
+            span_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (SUB, SPAN), 1)
+            f_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (SUB, num_features + 2), 1)
+            sub_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (SUB, 1), 0)[:, 0]
+
+            for s in range(CHUNK // SUB):
+                lo = s * SUB
+                slots = jax.lax.slice(all_ids, (lo,),
+                                      (lo + SUB,)) - base
+                g_idx = aligned + k * CHUNK + lo + sub_iota
+                valid = (g_idx >= start) & (g_idx < end)
+                onehot = jnp.where(
+                    (slots[:, None] == span_iota) & valid[:, None],
+                    1.0, 0.0)
+
+                w = jax.lax.slice(all_w, (lo,), (lo + SUB,))
+                cls = jax.lax.slice(all_cls, (lo,), (lo + SUB,))
+                w2 = w * w
+                baug = jnp.where(cls[:, None] == f_iota,
+                                 w2[:, None], 0.0)
+                baug = jnp.where(f_iota == num_features, w[:, None],
+                                 baug)
+                baug = jnp.where(f_iota == num_features + 1,
+                                 w2[:, None], baug)
+                acc[:] += jax.lax.dot_general(
+                    baug, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return 0
+
+        n_chunks = (end - aligned + CHUNK - 1) // CHUNK
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        iw = interpolation_weight
+        w_sum = acc[num_features, :]
+        s2_sum = acc[num_features + 1, :]
+        safe_w = jnp.maximum(w_sum, 1e-30)
+        mult = jnp.where(w_sum > 0, 1.0 - iw * s2_sum / safe_w, 1.0)
+        add = (iw / safe_w)[None, :] * acc[:num_features, :]
+        load.wait()
+        span_buf[:] = span_buf[:] * mult[None, :] + add
+        store = pltpu.make_async_copy(
+            span_buf, map_hbm_out.at[:, pl.ds(base, SPAN)], sems.at[3])
+        store.start()
+        store.wait()
+
+    pl.run_scoped(
+        body, acc=pltpu.VMEM((num_features + 2, SPAN), jnp.float32))
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnums=(4,),
+                   static_argnames=("interpret",))
+def splat_onehot_cmajor(data: jax.Array, ids: jax.Array,
+                        weights: jax.Array, classes: jax.Array,
+                        interpolation_weight: float = 0.5,
+                        interpret: bool = False) -> jax.Array:
+    """One-hot trilinear splat into a channel-major ``[F, V]`` map.
+
+    Same semantics as ops.scatter.apply_onehot_cmajor; the map's V must
+    be a multiple of SPAN (MapGeometry default sizes are).
+    """
+    num_features, num_voxels = data.shape
+    assert num_voxels % SPAN == 0, (
+        f"num_voxels {num_voxels} must be a multiple of {SPAN}")
+    from mass_tpu.ops.scatter import span_sorted_records
+
+    ids_s, w_s, cls_s, starts = span_sorted_records(
+        ids, weights, classes, num_voxels, SPAN)
+
+    # pad record arrays so aligned chunk DMAs never run past the end
+    pad = _round_up(ids_s.shape[0], CHUNK) + CHUNK - ids_s.shape[0]
+    ids_s = jnp.pad(ids_s, (0, pad), constant_values=num_voxels)
+    w_s = jnp.pad(w_s, (0, pad))
+    cls_s = jnp.pad(cls_s, (0, pad))
+
+    n_spans = num_voxels // SPAN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_spans,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # ids
+            pl.BlockSpec(memory_space=pl.ANY),  # w
+            pl.BlockSpec(memory_space=pl.ANY),  # cls
+            pl.BlockSpec(memory_space=pl.ANY),  # map (HBM, aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK,), jnp.int32),
+            pltpu.VMEM((CHUNK,), jnp.float32),
+            pltpu.VMEM((CHUNK,), jnp.int32),
+            pltpu.VMEM((num_features, SPAN), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(_kernel, num_features=num_features,
+                          interpolation_weight=interpolation_weight),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
+        input_output_aliases={4: 0},  # map input (after prefetch) -> out
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, ids_s, w_s, cls_s, data)

@@ -117,32 +117,96 @@ def _blend_fields(ids, weights, num_voxels: int, iw: float):
     return mult[:num_voxels], scale
 
 
-def apply_onehot_flat(data_flat: jax.Array, ids: jax.Array,
-                      weights: jax.Array, classes: jax.Array,
-                      num_voxels: int, num_features: int,
-                      interpolation_weight: float) -> jax.Array:
-    """Apply corner contributions to a channel-major flat map.
+def apply_onehot_cmajor(data: jax.Array, ids: jax.Array,
+                        weights: jax.Array, classes: jax.Array,
+                        interpolation_weight: float) -> jax.Array:
+    """Apply corner contributions to a channel-major ``[F, V]`` map
+    (XLA path; on TPU the Pallas splat kernel in ops/pallas_splat.py is
+    preferred — XLA's element scatter serializes there).
 
     Args:
-      data_flat: ``[F * V]`` map, element ``c * V + v``.
+      data: ``[F, V]`` map.
       ids / weights: ``[8N]`` corner voxel ids and weights.
       classes: ``[N]`` integer feature channel per pixel.
     """
+    num_features, num_voxels = data.shape
     mult, scale = _blend_fields(ids, weights, num_voxels,
                                 interpolation_weight)
-
-    def mul_channel(c, d):
-        seg = jax.lax.dynamic_slice(d, (c * num_voxels,), (num_voxels,))
-        return jax.lax.dynamic_update_slice(
-            d, seg * mult, (c * num_voxels,))
-
-    data_flat = jax.lax.fori_loop(0, num_features, mul_channel, data_flat)
-
+    data = data * mult[None, :]
     cf = jnp.tile(classes, 8)
-    vf = jnp.where(ids < num_voxels, cf * num_voxels + ids,
-                   num_features * num_voxels)
-    return data_flat.at[vf].add(scale.astype(data_flat.dtype),
-                                mode="drop")
+    oob = jnp.int32(num_voxels)
+    safe_ids = jnp.where(ids < num_voxels, ids, oob)
+    return data.at[cf, safe_ids].add(scale.astype(data.dtype),
+                                     mode="drop")
+
+
+def _segmented_sum_scan(values: jax.Array, heads: jax.Array) -> jax.Array:
+    """Inclusive segmented prefix sum: resets at each head.  ``values``
+    may have trailing dims; ``heads`` is [N] bool."""
+    flags = heads.astype(values.dtype)
+    if values.ndim > 1:
+        flags = flags.reshape((-1,) + (1,) * (values.ndim - 1))
+
+    def combine(left, right):
+        lv, lf = left
+        rv, rf = right
+        return rv + (1.0 - rf) * lv, jnp.maximum(lf, rf)
+
+    out, _ = jax.lax.associative_scan(combine, (values, flags))
+    return out
+
+
+def _broadcast_from_ends(values_at_ends: jax.Array,
+                         is_end: jax.Array) -> jax.Array:
+    """Copy each segment-end value backward over its whole segment."""
+    flags = is_end.astype(values_at_ends.dtype)
+    if values_at_ends.ndim > 1:
+        flags = flags.reshape(
+            (-1,) + (1,) * (values_at_ends.ndim - 1))
+
+    def combine(left, right):
+        lv, lf = left
+        rv, rf = right
+        return jnp.where(rf > 0, rv, lv), jnp.maximum(lf, rf)
+
+    rv = jnp.flip(values_at_ends, 0)
+    rf = jnp.flip(flags, 0)
+    out, _ = jax.lax.associative_scan(combine, (rv, rf))
+    return jnp.flip(out, 0)
+
+
+def segment_totals(values: jax.Array, heads: jax.Array) -> jax.Array:
+    """Per-element total of its segment (scatter-free: two scans)."""
+    incl = _segmented_sum_scan(values, heads)
+    is_end = jnp.concatenate(
+        [heads[1:], jnp.ones((1,), jnp.bool_)])
+    flags = is_end
+    at_ends = jnp.where(
+        flags.reshape((-1,) + (1,) * (values.ndim - 1))
+        if values.ndim > 1 else flags, incl, 0)
+    return _broadcast_from_ends(at_ends, is_end)
+
+
+def span_sorted_records(ids: jax.Array, weights: jax.Array,
+                        classes: jax.Array, num_voxels: int,
+                        span_slots: int):
+    """Sort splat records by voxel id, carrying payloads through the
+    sort network (random gathers are as serialized as scatters on TPU —
+    multi-operand ``lax.sort`` moves payloads with the keys instead).
+
+    Returns ``(ids_s, w_s, cls_s, starts)`` where ``starts`` are the
+    record ranges of each ``span_slots``-sized voxel-id span; discard
+    records (id == V) sort past the last span.  Per-voxel reductions
+    happen inside the splat kernel (one-hot matmuls), so no segment
+    sums are needed here.
+    """
+    cls8 = jnp.tile(classes.reshape(-1), 8).astype(jnp.int32)
+    ids_s, w_s, cls_s = jax.lax.sort((ids, weights, cls8), num_keys=1)
+    n_spans = (num_voxels + span_slots - 1) // span_slots
+    bounds = jnp.arange(n_spans + 1, dtype=jnp.int32) * span_slots
+    starts = jnp.searchsorted(ids_s, bounds, side="left").astype(
+        jnp.int32)
+    return ids_s, w_s.astype(jnp.float32), cls_s, starts
 
 
 def apply_dense_rows(data: jax.Array, ids: jax.Array, weights: jax.Array,

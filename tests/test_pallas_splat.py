@@ -1,0 +1,112 @@
+"""Pallas splat kernel parity (interpret mode on CPU) vs the XLA path."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from mass_tpu.config import MapGeometry
+from mass_tpu.core import geometry as G
+from mass_tpu.core.voxelmap import VoxelMap
+from mass_tpu.ops import pallas_splat as PS
+from mass_tpu.ops.scatter import (apply_onehot_cmajor,
+                                  corner_contributions, segment_totals)
+from tests import reference_impl as R
+
+# smallest geometry whose V is a SPAN multiple: 32*16*4 = 2048
+GEO = MapGeometry(map_height=32, map_width=16, map_depth=4,
+                  feature_size=6, grid_resolution=0.2)
+CAM = dict(h=9, w=11, f=7.0)
+
+
+def test_segment_totals():
+    vals = jnp.asarray([1., 2., 3., 4., 5., 6.])
+    heads = jnp.asarray([True, False, True, False, False, True])
+    out = np.asarray(segment_totals(vals, heads))
+    np.testing.assert_allclose(out, [3, 3, 12, 12, 12, 6])
+
+
+def test_segment_totals_multichannel():
+    vals = jnp.asarray([[1., 10.], [2., 20.], [3., 30.]])
+    heads = jnp.asarray([True, True, False])
+    out = np.asarray(segment_totals(vals, heads))
+    np.testing.assert_allclose(out, [[1, 10], [5, 50], [5, 50]])
+
+
+def _random_points(rng, vm):
+    rays = R.ref_camera_rays(CAM["h"], CAM["w"], CAM["f"], CAM["f"])
+    depth = rng.uniform(0.05, 2.2,
+                        (CAM["h"], CAM["w"], 1)).astype(np.float32)
+    depth[0, 0, 0] = 50.0  # some invalid pixels
+    yaw = np.float32(rng.uniform(-np.pi, np.pi))
+    elev = np.float32(rng.uniform(-0.8, 0.2))
+    pos = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
+    oriented = G.orient_rays(jnp.asarray(rays), yaw, elev)
+    pts = G.bin_rays(vm.bins_x, vm.bins_y, vm.bins_z,
+                     jnp.asarray(pos), oriented, jnp.asarray(depth))
+    g = vm.geometry
+    return corner_contributions(
+        pts, (g.map_height, g.map_width, g.map_depth))
+
+
+def test_kernel_matches_xla_path():
+    rng = np.random.RandomState(0)
+    vm = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    data = jnp.asarray(rng.rand(GEO.feature_size,
+                                GEO.num_voxels).astype(np.float32))
+    classes = jnp.asarray(rng.randint(
+        0, GEO.feature_size, (CAM["h"] * CAM["w"],)).astype(np.int32))
+    ids, w = _random_points(rng, vm)
+
+    ref = apply_onehot_cmajor(data, ids, w, classes, 0.5)
+    out = PS.splat_onehot_cmajor(data, ids, w, classes, 0.5,
+                                 interpret=True)
+    assert np.asarray(jnp.abs(ref - data)).max() > 0  # update happened
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_kernel_sequential_updates_match_oracle():
+    """Two kernel updates in sequence match the NumPy oracle of the
+    reference semantics end-to-end."""
+    rng = np.random.RandomState(1)
+    rays = R.ref_camera_rays(CAM["h"], CAM["w"], CAM["f"], CAM["f"])
+    fmap = np.zeros((GEO.map_height, GEO.map_width, GEO.map_depth,
+                     GEO.feature_size), np.float32)
+    bx = R.ref_bins(0.0, GEO.map_width, GEO.grid_resolution)
+    by = R.ref_bins(0.0, GEO.map_height, GEO.grid_resolution)
+    bz = R.ref_bins(0.0, GEO.map_depth, GEO.grid_resolution)
+
+    vm = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    jrays = jnp.asarray(rays)
+    for _ in range(2):
+        depth = rng.uniform(0.05, 2.2,
+                            (CAM["h"], CAM["w"], 1)).astype(np.float32)
+        classes = rng.randint(0, GEO.feature_size,
+                              (CAM["h"], CAM["w"])).astype(np.int32)
+        onehot = np.eye(GEO.feature_size,
+                        dtype=np.float32)[classes]
+        pos = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
+        yaw = np.float32(rng.uniform(-np.pi, np.pi))
+        elev = np.float32(rng.uniform(-0.6, 0.2))
+        R.ref_full_update(fmap, bx, by, bz, rays, pos, yaw, elev,
+                          depth, onehot, interpolation_weight=0.5)
+        vm = vm.update_classes(jrays, jnp.asarray(pos), yaw, elev,
+                               jnp.asarray(depth), jnp.asarray(classes),
+                               use_kernel=True)
+
+    np.testing.assert_allclose(np.asarray(vm.grid()), fmap, atol=1e-4)
+
+
+def test_kernel_occupancy_single_channel():
+    geo = dataclasses.replace(GEO, feature_size=1)
+    rng = np.random.RandomState(2)
+    vm = VoxelMap.create(geo, (0.0, 0.0, 0.0))
+    ids, w = _random_points(rng, vm)
+    classes = jnp.zeros((CAM["h"] * CAM["w"],), jnp.int32)
+    data = jnp.zeros((1, geo.num_voxels))
+    ref = apply_onehot_cmajor(data, ids, w, classes, 0.5)
+    out = PS.splat_onehot_cmajor(data, ids, w, classes, 0.5,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
