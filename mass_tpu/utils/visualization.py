@@ -135,3 +135,30 @@ def episode_frame(rgb: np.ndarray, *panels: np.ndarray) -> np.ndarray:
                      pw - 1).astype(int)
         row.append(panel[ys][:, xs])
     return np.concatenate(row, axis=1)
+
+
+def render_feature_query(vm, query_embeddings: np.ndarray,
+                         z_start: int = 0, z_stop: int = 32,
+                         temperature: float = 100.0) -> np.ndarray:
+    """Text/feature-query similarity heat-map over a feature map's top-
+    down view (the CLIP map's query visualization, reference:
+    mass/nn/applications/clip_projection_layer.py:227-281): softmax over
+    queries of scaled cosine similarity, rendered as the first query's
+    probability."""
+    import jax.numpy as jnp
+
+    top = np.asarray(vm.top_down(z_start, z_stop))  # [H, W, F]
+    feat = top / (np.linalg.norm(top, axis=-1, keepdims=True) + 1e-9)
+    q = np.asarray(query_embeddings, np.float32)
+    q = q / (np.linalg.norm(q, axis=-1, keepdims=True) + 1e-9)
+    logits = temperature * np.einsum("hwf,qf->hwq", feat, q)
+    probs = np.asarray(jnp.asarray(logits) -
+                       jnp.max(jnp.asarray(logits), -1, keepdims=True))
+    probs = np.exp(probs)
+    probs /= probs.sum(-1, keepdims=True)
+    heat = probs[..., 0]
+    empty = ~np.any(top != 0, axis=-1)
+    image = np.stack([heat, np.zeros_like(heat),
+                      1.0 - heat], axis=-1)
+    image[empty] = 1.0
+    return image.astype(np.float32)

@@ -72,3 +72,17 @@ def test_train_step_decreases_loss():
         state, loss = step(state, td, goals)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5
+
+
+def test_reference_policy_checkpoint_loads():
+    """Load the reference's shipped policy.pth (if present) through the
+    import path and run a forward pass — behavioral-parity plumbing."""
+    import os
+    import pytest
+    path = "/root/reference/policy.pth"
+    if not os.path.exists(path):
+        pytest.skip("reference checkpoint unavailable")
+    params = pol.load_reference_policy(path)
+    out = pol.goal_logits(params, jnp.zeros((1, 24, 24, 54)))
+    assert out.shape == (1, 24 * 24)
+    assert np.isfinite(np.asarray(out)).all()
