@@ -120,11 +120,21 @@ class RearrangeEpisode:
 
 class Phase:
     """One task phase (walkthrough or unshuffle) satisfying the Task
-    protocol."""
+    protocol.
 
-    def __init__(self, episode: RearrangeEpisode, walkthrough: bool):
+    ``one_phase`` mirrors the reference's one-phase task variant
+    (reference: mass/thor/segmentation_config.py:484-598,
+    OnePhaseSegmentationConfig with dual semantic sensors): a single
+    unshuffle-phase task whose observations additionally carry the GOAL
+    world's rendering from the same pose (``goal_semantic`` /
+    ``goal_depth``), so agents can diff states without a walkthrough.
+    """
+
+    def __init__(self, episode: RearrangeEpisode, walkthrough: bool,
+                 one_phase: bool = False):
         self.episode = episode
         self.walkthrough = walkthrough
+        self.one_phase = one_phase
         self.steps_taken = 0
         self._done = False
         self._names = action_names()
@@ -147,7 +157,12 @@ class Phase:
         ep = self.episode
         rgb, depth, semantic = ep.active_world(self.walkthrough).render(
             ep.camera, ep.pose)
-        return dict(rgb=rgb, depth=depth, semantic=semantic)
+        obs = dict(rgb=rgb, depth=depth, semantic=semantic)
+        if self.one_phase:
+            _, gd, gs = ep.goal_world.render(ep.camera, ep.pose)
+            obs["goal_depth"] = gd
+            obs["goal_semantic"] = gs
+        return obs
 
     def step(self, action: int) -> StepResult:
         self.steps_taken += 1
@@ -356,19 +371,30 @@ class GridWorldTaskSampler:
     paired unshuffle, then the next episode's walkthrough...)."""
 
     def __init__(self, seeds, camera: CameraConfig = CameraConfig(),
-                 max_steps: int = 250, **episode_kwargs):
+                 max_steps: int = 250, one_phase: bool = False,
+                 **episode_kwargs):
         self._seeds = list(seeds)
         self._camera = camera
         self._max_steps = max_steps
+        self._one_phase = one_phase
         self._kwargs = episode_kwargs
         self._cursor = 0
         self._phase_is_walkthrough = True
         self.current_episode: Optional[RearrangeEpisode] = None
 
     def __len__(self):
-        return 2 * len(self._seeds)
+        return len(self._seeds) if self._one_phase else \
+            2 * len(self._seeds)
 
     def next_task(self) -> Phase:
+        if self._one_phase:
+            seed = self._seeds[self._cursor]
+            self._cursor += 1
+            self.current_episode = generate_episode(
+                seed, camera=self._camera, max_steps=self._max_steps,
+                **self._kwargs)
+            return Phase(self.current_episode, walkthrough=False,
+                         one_phase=True)
         if self._phase_is_walkthrough:
             seed = self._seeds[self._cursor]
             self.current_episode = generate_episode(

@@ -156,10 +156,33 @@ def _plot_bars(table, out):
     print(f"wrote {out}")
 
 
+def object_analytics(logdirs):
+    """Aggregate the per-object analytics CSVs: per-type counts, mean
+    initial/final distances, and fix rates (reference:
+    visualize_analytics.py over analytics-*.csv)."""
+    import pandas as pd
+    frames = []
+    for logdir in logdirs:
+        for path in glob.glob(os.path.join(logdir, "results",
+                                           "analytics-*.csv")):
+            frames.append(pd.read_csv(path))
+    if not frames:
+        return None
+    df = pd.concat(frames, ignore_index=True)
+    misplaced = df[~df["initial_correct"]]
+    out = misplaced.groupby("type").agg(
+        count=("type", "size"),
+        initial_distance=("initial_distance", "mean"),
+        final_distance=("final_distance", "mean"),
+        fixed_rate=("final_correct", "mean"))
+    return out.sort_values("count", ascending=False)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("result analysis")
     p.add_argument("command", choices=["metrics", "ablation", "pr",
-                                       "found", "failures"])
+                                       "found", "failures",
+                                       "analytics"])
     p.add_argument("logdirs", nargs="+")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--radius", type=float, default=1.0)
@@ -181,6 +204,9 @@ def main(argv=None):
     elif args.command == "failures":
         for mode, count in failure_modes(args.logdirs).items():
             print(f"{mode:32s} {count}")
+    elif args.command == "analytics":
+        table = object_analytics(args.logdirs)
+        print(table if table is not None else "no analytics CSVs found")
     elif args.command == "found":
         curves = found_objects_curves(args.logdirs[0], args.radius)
         for phase, curve in curves.items():

@@ -117,3 +117,25 @@ def test_sampler_alternates_phases():
     t3 = sampler.next_task()
     assert t1.walkthrough and not t2.walkthrough and t3.walkthrough
     assert t1.episode is t2.episode and t3.episode is not t1.episode
+
+
+def test_one_phase_mode():
+    sampler = RR.GridWorldTaskSampler([3, 4], camera=CAM,
+                                      one_phase=True, num_objects=3,
+                                      num_misplaced=2, num_opened=0)
+    t1 = sampler.next_task()
+    assert not t1.walkthrough and t1.one_phase
+    obs = t1.get_observations()
+    assert "goal_semantic" in obs and "goal_depth" in obs
+    assert obs["goal_semantic"].shape == obs["semantic"].shape
+    # some viewpoint shows the displaced objects: scan the room
+    names = t1.action_names()
+    t1.step(names.index("look_down"))
+    differs = False
+    for _ in range(4):
+        obs = t1.get_observations()
+        differs |= bool((obs["goal_semantic"] != obs["semantic"]).any())
+        t1.step(names.index("rotate_left"))
+    assert differs
+    t2 = sampler.next_task()
+    assert t2.episode is not t1.episode  # one task per episode

@@ -87,3 +87,55 @@ def test_data_parallel_batch_of_maps():
     ref = np.asarray(batched(data0, pos, yaw, elev, depth, feats))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
     assert ref.any()
+
+
+def test_batched_mapper_matches_single_episodes():
+    """The batched multi-episode service equals per-episode updates."""
+    from mass_tpu.parallel import BatchedMapper
+    from mass_tpu.config import CameraConfig
+
+    geo = MapGeometry(map_height=32, map_width=20, map_depth=8,
+                      feature_size=5, grid_resolution=0.1,
+                      layout="vmajor")
+    cam = CameraConfig(height=CAM["h"], width=CAM["w"])
+    # CameraConfig computes focal from vfov; match test rays by picking
+    # vfov giving f=7: f = h/2/tan(v/2) -> tan(v/2) = h/2/7
+    import math
+    vfov = math.degrees(2 * math.atan(CAM["h"] / 2 / CAM["f"]))
+    cam = CameraConfig(height=CAM["h"], width=CAM["w"],
+                       vertical_fov_degrees=vfov)
+
+    mesh = make_mesh((2, 4), ("data", "map")) if \
+        jax.device_count() >= 8 else None
+    b = 4
+    mapper = BatchedMapper(b, cam, geo, mesh=mesh)
+    origins = np.asarray([[0.1 * i, -0.05 * i, 0.0] for i in range(b)],
+                         np.float32)
+    for i in range(b):
+        mapper.reset(i, origins[i])
+
+    rng = np.random.RandomState(3)
+    singles = [VoxelMap.create(geo, tuple(origins[i]))
+               for i in range(b)]
+    rays = jnp.asarray(
+        R.ref_camera_rays(CAM["h"], CAM["w"], CAM["f"], CAM["f"]))
+
+    for _ in range(2):
+        frames = _frames(b, rng)
+        depth = np.stack([f[0] for f in frames])
+        classes = rng.randint(0, 5, (b, CAM["h"], CAM["w"]))
+        pos = np.stack([f[2] for f in frames])
+        yaw = np.stack([f[3] for f in frames])
+        elev = np.stack([f[4] for f in frames])
+        mapper.step(pos, yaw, elev, depth, classes)
+        for i in range(b):
+            onehot = np.eye(5, dtype=np.float32)[classes[i]]
+            singles[i] = singles[i].update(
+                rays, jnp.asarray(pos[i]), yaw[i], elev[i],
+                jnp.asarray(depth[i]), jnp.asarray(onehot))
+
+    for i in range(b):
+        np.testing.assert_allclose(
+            np.asarray(mapper.voxel_map(i).grid()),
+            np.asarray(singles[i].grid()), atol=1e-5)
+        assert np.asarray(singles[i].grid()).any()
