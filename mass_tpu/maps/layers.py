@@ -76,14 +76,19 @@ class OccupancyMap(_BaseMap):
         geometry = config_geometry or MapGeometry(
             feature_size=1, **geo_kwargs)
         super().__init__(camera, geometry, origin)
+        rays = self.rays
 
-        @jax.jit
-        def _update(vm, position, yaw, elevation, depth):
+        def update_fn(vm, position, yaw, elevation, depth, aux):
             classes = jnp.zeros(depth.shape[:2], jnp.int32)
-            return vm.update_classes(self.rays, position, yaw,
-                                     elevation, depth, classes)
+            return vm.update_classes(rays, position, yaw, elevation,
+                                     depth, classes)
 
-        self._update = _update
+        self.update_fn = update_fn
+        self._update = jax.jit(
+            lambda vm, p, y, e, d: update_fn(vm, p, y, e, d, None))
+
+    def aux_from_observation(self, observation: Dict):
+        return None
 
     def update_from_observation(self, observation: Dict) -> None:
         self.voxel_map = self._update(self.voxel_map,
@@ -99,21 +104,25 @@ class SemanticMap(_BaseMap):
         geometry = config_geometry or MapGeometry(
             feature_size=num_classes, **geo_kwargs)
         super().__init__(camera, geometry, origin)
+        rays = self.rays
 
-        @jax.jit
-        def _update(vm, position, yaw, elevation, depth, classes):
-            return vm.update_classes(self.rays, position, yaw,
-                                     elevation, depth, classes)
+        def update_fn(vm, position, yaw, elevation, depth, classes):
+            return vm.update_classes(rays, position, yaw, elevation,
+                                     depth, classes)
 
-        self._update = _update
+        self.update_fn = update_fn
+        self._update = jax.jit(update_fn)
 
-    def update_from_observation(self, observation: Dict) -> None:
+    def aux_from_observation(self, observation: Dict):
         semantic = np.asarray(observation["semantic"])
         if semantic.ndim == 3:
             semantic = semantic[..., 0]
+        return jnp.asarray(semantic, jnp.int32)
+
+    def update_from_observation(self, observation: Dict) -> None:
         self.voxel_map = self._update(
             self.voxel_map, *_pose_args(observation),
-            jnp.asarray(semantic, jnp.int32))
+            self.aux_from_observation(observation))
 
 
 class FeatureMap(_BaseMap):
@@ -130,21 +139,25 @@ class FeatureMap(_BaseMap):
             feature_size=feature_size, layout="vmajor", **geo_kwargs)
         super().__init__(camera.downsample(stride), geometry, origin)
         self.stride = stride
+        rays = self.rays
 
-        @jax.jit
-        def _update(vm, position, yaw, elevation, depth, rgb):
+        def update_fn(vm, position, yaw, elevation, depth, rgb):
             feats = backbone(rgb)
-            k = self.stride
+            k = stride
             sub = depth[k // 2::k, k // 2::k]
-            return vm.update(self.rays, position, yaw, elevation, sub,
+            return vm.update(rays, position, yaw, elevation, sub,
                              feats)
 
-        self._update = _update
+        self.update_fn = update_fn
+        self._update = jax.jit(update_fn)
+
+    def aux_from_observation(self, observation: Dict):
+        return jnp.asarray(observation["rgb"], jnp.float32)
 
     def update_from_observation(self, observation: Dict) -> None:
         self.voxel_map = self._update(
             self.voxel_map, *_pose_args(observation),
-            jnp.asarray(observation["rgb"], jnp.float32))
+            self.aux_from_observation(observation))
 
 
 class ClipMap(_BaseMap):
@@ -164,15 +177,20 @@ class ClipMap(_BaseMap):
         super().__init__(centre, geometry, origin)
         self.full_camera = camera
 
-        @jax.jit
-        def _update(vm, position, yaw, elevation, depth, rgb):
+        rays = self.rays
+
+        def update_fn(vm, position, yaw, elevation, depth, rgb):
             embedding = encoder(rgb).reshape(1, 1, feature_size)
             h, w = depth.shape[0], depth.shape[1]
             centre_depth = depth[h // 2:h // 2 + 1, w // 2:w // 2 + 1]
-            return vm.update(self.rays, position, yaw, elevation,
+            return vm.update(rays, position, yaw, elevation,
                              centre_depth, embedding)
 
-        self._update = _update
+        self.update_fn = update_fn
+        self._update = jax.jit(update_fn)
+
+    def aux_from_observation(self, observation: Dict):
+        return jnp.asarray(observation["rgb"], jnp.float32)
 
     def update_from_observation(self, observation: Dict) -> None:
         self.voxel_map = self._update(
@@ -182,8 +200,40 @@ class ClipMap(_BaseMap):
 
 class MapSet(dict):
     """Named map collection with broadcast reset (the agent resets all
-    maps to the episode origin; reference: agent.py:161-172)."""
+    maps to the episode origin; reference: agent.py:161-172) and fused
+    group updates (all of a step's map updates in ONE device dispatch —
+    host-to-device round trips dominate live agent loops)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._group_fns = {}
 
     def reset_all(self, origin) -> None:
         for layer in self.values():
             layer.reset(origin)
+
+    def update_group(self, names, observation: Dict) -> None:
+        """Update several maps from one observation in one jitted call."""
+        names = [n for n in names if n in self]
+        if not names:
+            return
+        key = tuple(names)
+        fn = self._group_fns.get(key)
+        if fn is None:
+            layers = [self[n] for n in names]
+
+            @jax.jit
+            def fn(vms, position, yaw, elevation, depth, auxes):
+                return tuple(
+                    layer.update_fn(vm, position, yaw, elevation,
+                                    depth, aux)
+                    for layer, vm, aux in zip(layers, vms, auxes))
+
+            self._group_fns[key] = fn
+        layers = [self[n] for n in names]
+        vms = tuple(layer.voxel_map for layer in layers)
+        auxes = tuple(layer.aux_from_observation(observation)
+                      for layer in layers)
+        new_vms = fn(vms, *_pose_args(observation), auxes)
+        for layer, vm in zip(layers, new_vms):
+            layer.voxel_map = vm

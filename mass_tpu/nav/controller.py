@@ -78,8 +78,12 @@ class NavigationController:
             return
         names = [update_map] if isinstance(update_map, str) else \
             update_map
-        for name in names:
-            self.maps[name].update_from_observation(observations)
+        if hasattr(self.maps, "update_group"):
+            # all of this step's map updates in one device dispatch
+            self.maps.update_group(names, observations)
+        else:
+            for name in names:
+                self.maps[name].update_from_observation(observations)
 
     # ------------------------------------------------------------ mesh
 
