@@ -84,3 +84,45 @@ def make_segmentation_sensor(params,
                                               jnp.float32)))
 
     return sensor
+
+
+def instances_from_logits(logits: jax.Array, max_instances: int = 32,
+                          score_threshold: float = 0.0,
+                          iou_threshold: float = 0.9):
+    """Instance detections from per-pixel class logits: connected
+    regions of the argmax segmentation become instances with mean-prob
+    scores and tight boxes, deduplicated by NMS — composing the
+    framework's detection blocks into the Detections contract that the
+    mask-fusion sensor consumes (the reference gets this structure from
+    Mask R-CNN)."""
+    from mass_tpu.ops.components import extract_instances
+    from mass_tpu.ops.detection import nms
+    from mass_tpu.perception.segmentation import Detections
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    classes = jnp.argmax(logits, axis=-1)
+    foreground = classes > 0
+    inst = extract_instances(foreground, max_instances)
+
+    masks = inst.masks.astype(jnp.float32)           # [K, H, W]
+    denom = jnp.maximum(masks.sum((1, 2)), 1.0)
+    # majority class per instance
+    counts = jnp.einsum("khw,hwc->kc", masks,
+                        jax.nn.one_hot(classes, logits.shape[-1]))
+    inst_cls = jnp.argmax(counts[:, 1:], axis=-1) + 1
+    conf = jnp.take_along_axis(
+        jnp.einsum("khw,hwc->kc", masks, probs),
+        inst_cls[:, None], axis=1)[:, 0] / denom
+    scores = jnp.where(inst.present & (conf >= score_threshold),
+                       conf, -jnp.inf)
+
+    x, y, w, h = (inst.boxes[:, 0], inst.boxes[:, 1],
+                  inst.boxes[:, 2], inst.boxes[:, 3])
+    boxes = jnp.stack([x, y, x + w, y + h], axis=-1).astype(jnp.float32)
+    keep = nms(boxes, scores, iou_threshold, max_instances)
+    keep_mask = jnp.zeros((max_instances,), jnp.bool_).at[
+        jnp.where(keep >= 0, keep, max_instances)].set(
+            True, mode="drop")
+    scores = jnp.where(keep_mask & jnp.isfinite(scores), scores, 0.0)
+    return Detections(masks=masks, classes=inst_cls.astype(jnp.int32),
+                      scores=scores)

@@ -98,3 +98,27 @@ def test_segmenter_training_learns(tmp_path):
     assert history[-1]["loss"] < history[0]["loss"]
     assert after["pixel_accuracy"] > before["pixel_accuracy"]
     assert after["pixel_accuracy"] > 0.5  # background dominates quickly
+
+
+def test_instances_from_logits_roundtrip():
+    """Logit image with two blobs -> Detections -> mask fusion returns
+    the original class image."""
+    from mass_tpu.perception.detector import instances_from_logits
+    from mass_tpu.perception.segmentation import detections_to_semantic
+
+    h = w = 24
+    classes = np.zeros((h, w), np.int64)
+    classes[2:8, 2:8] = 5
+    classes[14:20, 10:22] = 9
+    logits = np.full((h, w, 12), -5.0, np.float32)
+    logits[np.arange(h)[:, None], np.arange(w)[None, :], classes] = 5.0
+
+    det = instances_from_logits(jnp.asarray(logits), max_instances=8)
+    scores = np.asarray(det.scores)
+    kept = scores > 0.5
+    assert kept.sum() == 2
+    assert sorted(np.asarray(det.classes)[kept].tolist()) == [5, 9]
+
+    sem = np.asarray(detections_to_semantic(det, 0.5,
+                                            num_classes=12))[..., 0]
+    np.testing.assert_array_equal(sem, classes)
