@@ -145,29 +145,39 @@ class NavigationController:
         dist = NG.distance_field_from_seeds(self.nav_grid, seeds)
         return src, dist
 
+    def _path_from_field(self, dist: np.ndarray, tgt: np.ndarray,
+                         src_cell: np.ndarray) -> np.ndarray:
+        """Host backtrack of a planned field into world waypoints, with
+        the true source cell prepended when it is off-node (reference:
+        mass/navigation_policy.py:480-483)."""
+        vm = self._occupancy_vm()
+        cells = NG.extract_path(self.nav_grid, dist, tgt,
+                                self.config.step_size)
+        if cells.shape[0] == 0:
+            cells = np.asarray(src_cell, np.int32)[None]
+        if not np.array_equal(cells[0], src_cell):
+            cells = np.concatenate(
+                [np.asarray(src_cell, np.int32)[None], cells], axis=0)
+        cells3 = np.concatenate(
+            [cells, np.zeros((cells.shape[0], 1), cells.dtype)], axis=1)
+        return np.asarray(vm.map_to_world(
+            jnp.asarray(cells3, jnp.float32)))
+
     def shortest_path(self, source_world, target_world) -> np.ndarray:
         """World-coordinate waypoint path source -> target (reference:
         mass/navigation_policy.py:427-486): source snaps to its nearest
         node, target to the nearest *reachable* node; the true source
         position is prepended when it differs from its node."""
-        vm = self._occupancy_vm()
-        src, dist = self._source_field(source_world)
-        tgt_cell = self._cell_of_world(target_world)
-        s = self.config.step_size
-        tgt = NG.nearest_node(self.nav_grid, dist,
-                              jnp.asarray(tgt_cell), s,
-                              reachable_only=True)
-        cells = NG.extract_path(self.nav_grid, np.asarray(dist),
-                                np.asarray(tgt), s)
-        if cells.shape[0] == 0:
-            cells = self._cell_of_world(source_world)[None]
-        src_cell = self._cell_of_world(source_world)
-        if not np.array_equal(cells[0], src_cell):
-            cells = np.concatenate([src_cell[None], cells], axis=0)
-        cells3 = np.concatenate(
-            [cells, np.zeros((cells.shape[0], 1), cells.dtype)], axis=1)
-        return np.asarray(vm.map_to_world(
-            jnp.asarray(cells3, jnp.float32)))
+        cfg = self.config
+        grid, dist, tgt, agent_cell, _ = NG.plan(
+            self.nav_grid, self._occupancy_vm(),
+            jnp.asarray(source_world, jnp.float32),
+            jnp.asarray(target_world, jnp.float32),
+            step=cfg.step_size, padding=cfg.obstacle_padding,
+            z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
+            threshold=cfg.obstacle_threshold, refresh=False)
+        return self._path_from_field(np.asarray(dist), np.asarray(tgt),
+                                     np.asarray(agent_cell))
 
     def navigable_node_cells(self, position) -> np.ndarray:
         """Map cells of all nodes reachable from ``position``."""
@@ -212,11 +222,21 @@ class NavigationController:
         rotate_right / None-at-goal (reference:
         mass/navigation_policy.py:522-605)."""
         self.process_observations(observations, update_map=update_map)
-        if update_navigation_grid:
-            self.update_navigation_grid()
 
         goal = np.asarray(goal, np.float32)
-        path = self.shortest_path(observations["position"], goal)
+        cfg = self.config
+        # one fused device dispatch: mesh refresh + seeded BFS + snaps
+        grid, dist, tgt, agent_cell, _ = NG.plan(
+            self.nav_grid, self._occupancy_vm(),
+            jnp.asarray(observations["position"], jnp.float32),
+            jnp.asarray(goal, jnp.float32),
+            step=cfg.step_size, padding=cfg.obstacle_padding,
+            z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
+            threshold=cfg.obstacle_threshold,
+            refresh=bool(update_navigation_grid))
+        self.nav_grid = grid
+        path = self._path_from_field(np.asarray(dist), np.asarray(tgt),
+                                     np.asarray(agent_cell))
         observations["path"] = path
 
         # arrived: standing (within a node's reach) on the closest

@@ -197,6 +197,37 @@ def distance_field(grid: NavGrid, src_j, src_i) -> jax.Array:
     return distance_field_from_seeds(grid, seeds)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "step", "padding", "z_start", "z_stop", "refresh"))
+def plan(grid: NavGrid, occ_vm, agent_world, goal_world, *, step: int,
+         padding: int, z_start: int, z_stop: int, threshold: float,
+         refresh: bool):
+    """One-dispatch planning step: (optionally) refresh the mesh from
+    the occupancy map, seed a BFS around the agent (with a nearest-node
+    fallback if its neighborhood was pruned), and snap the goal to the
+    nearest reachable node.
+
+    Returns ``(grid, dist, target_ji, agent_cell, goal_cell)``.  Fusing
+    these keeps the live agent loop at ~2 host-device round trips per
+    simulator step instead of ~6.
+    """
+    if refresh:
+        nav = navigable_area(occ_vm, padding, z_start, z_stop,
+                             threshold)
+        grid = refresh_nav_grid(grid, nav, step=step)
+    agent_cell = occ_vm.world_to_map(agent_world[:2])
+    goal_cell = occ_vm.world_to_map(goal_world[:2])
+    seeds = seeds_near_cell(grid, agent_cell, step, radius_cells=2 * step)
+    src = nearest_node(grid, jnp.zeros(grid.alive.shape, jnp.int32),
+                       agent_cell, step, reachable_only=False)
+    fallback = jnp.zeros(grid.alive.shape, jnp.bool_).at[
+        src[1], src[0]].set(True)
+    seeds = jnp.where(jnp.any(seeds), seeds, fallback)
+    dist = distance_field_from_seeds(grid, seeds)
+    tgt = nearest_node(grid, dist, goal_cell, step, reachable_only=True)
+    return grid, dist, tgt, agent_cell, goal_cell
+
+
 @functools.partial(jax.jit, static_argnames=("step", "radius_cells"))
 def seeds_near_cell(grid: NavGrid, cell_xy, step: int,
                     radius_cells: int) -> jax.Array:
