@@ -25,7 +25,7 @@ import numpy as np
 from mass_tpu import taxonomy
 from mass_tpu.agent import metrics as M
 from mass_tpu.agent import oracle
-from mass_tpu.config import AgentConfig, CameraConfig
+from mass_tpu.config import AgentConfig
 from mass_tpu.env.gridworld import snake_case
 from mass_tpu.maps import FeatureMap, MapSet, OccupancyMap, SemanticMap
 from mass_tpu.match.differences import predict_scene_differences

@@ -25,7 +25,7 @@ import numpy as np
 
 from mass_tpu import taxonomy
 from mass_tpu.config import CameraConfig
-from mass_tpu.env.protocol import AgentPose, StepResult
+from mass_tpu.env.protocol import AgentPose
 
 _SNAKE = re.compile(r"(?<!^)(?=[A-Z])")
 

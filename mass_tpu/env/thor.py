@@ -14,8 +14,7 @@ imports; it is exercised on THOR-equipped hosts via the same CLI.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

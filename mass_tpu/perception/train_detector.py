@@ -14,7 +14,6 @@ same step runs single-chip, multi-chip, or on the virtual CPU mesh.
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import time

@@ -16,7 +16,6 @@ connected components of the semantic frame.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import glob
 import json
 import os
@@ -24,7 +23,6 @@ from typing import Dict, List
 
 import numpy as np
 
-from mass_tpu import taxonomy
 from mass_tpu.agent.metrics import NumpyJSONEncoder
 from mass_tpu.config import CameraConfig
 
