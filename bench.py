@@ -21,8 +21,8 @@ import numpy as np
 
 CAMERA = 224
 MAP_H, MAP_W, MAP_D, NUM_CLASSES = 384, 384, 96, 54
-FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
-BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "4"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "128"))
+BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "6"))
 
 
 def measure_tpu():
@@ -84,11 +84,13 @@ def measure_torch_cpu():
     frames = [tb.random_frame(rng, CAMERA, NUM_CLASSES)
               for _ in range(BASELINE_FRAMES + 1)]
     tb.update(state, *frames[0])  # warmup / allocations
-    t0 = time.perf_counter()
+    times = []
     for f in frames[1:]:
+        t0 = time.perf_counter()
         tb.update(state, *f)
-    dt = time.perf_counter() - t0
-    return BASELINE_FRAMES / dt
+        times.append(time.perf_counter() - t0)
+    # median per-frame time: robust to host load spikes
+    return 1.0 / float(np.median(times))
 
 
 def main():
