@@ -83,24 +83,41 @@ def uniform_bins(origin: jax.Array, num_cells: int,
     return (lo + i * resolution).astype(jnp.float32)
 
 
-def bucketize(x, bins):
+def _edge(bins, idx, resolution=None):
+    """World position of edge ``idx``, analytically when the exact
+    construction resolution is known.
+
+    ``uniform_bins`` builds edges as ``f32(lo) + f32(i) * f32(res)``;
+    recomputing that expression with the same ``res`` is bit-identical
+    to gathering ``bins[idx]`` — and gathers fragment XLA fusions on
+    TPU, so the hot path never touches the table.  Without the exact
+    resolution, fall back to the gather.
+    """
+    if resolution is None:
+        return bins[idx]
+    return bins[0] + idx.astype(jnp.float32) * jnp.float32(resolution)
+
+
+def bucketize(x, bins, resolution=None):
     """Index ``i`` such that ``bins[i] <= x < bins[i+1]``; -1 below, and
     ``len(bins)-1`` at/above the last edge.  Matches
-    ``torch.bucketize(x, bins, right=True) - 1`` for sorted ``bins``
-    (reference: mass/utils/projection.py:183-185).
+    ``torch.bucketize(x, bins, right=True) - 1`` for the analytically
+    uniform ``bins`` built by :func:`uniform_bins` (reference:
+    mass/utils/projection.py:183-185).
 
-    Uses analytic division for the uniform grid plus a one-step gather
-    correction so results agree exactly with a binary search over ``bins``
-    even at float boundaries — O(1) per element instead of O(log n).
+    Analytic division plus a one-step correction against the true edges
+    — O(1) per element, and gather-free when the exact construction
+    ``resolution`` is supplied.
     """
     n = bins.shape[0]
-    res = bins[1] - bins[0]
+    res = (bins[1] - bins[0]) if resolution is None \
+        else jnp.float32(resolution)
     idx = jnp.floor((x - bins[0]) / res).astype(jnp.int32)
     idx = jnp.clip(idx, -1, n - 1)
     # correct off-by-one from float rounding against the true edges
     safe = jnp.clip(idx, 0, n - 1)
-    below = x < bins[safe]  # belongs one bin down
-    above = x >= bins[jnp.clip(idx + 1, 0, n - 1)]  # one bin up
+    below = x < _edge(bins, safe, resolution)  # belongs one bin down
+    above = x >= _edge(bins, jnp.clip(idx + 1, 0, n - 1), resolution)
     idx = jnp.where((idx >= 0) & below, idx - 1, idx)
     idx = jnp.where((idx < n - 1) & above, idx + 1, idx)
     return jnp.clip(idx, -1, n - 1)
@@ -126,7 +143,8 @@ class BinnedPoints(NamedTuple):
 
 def bin_rays(bins_x, bins_y, bins_z, origin, rays, depth,
              min_ray_depth: float = 0.0,
-             max_ray_depth: float = 10.0) -> BinnedPoints:
+             max_ray_depth: float = 10.0,
+             resolution: float = None) -> BinnedPoints:
     """Bin world-frame ray endpoints into voxel cells with validity masking
     (reference: mass/utils/projection.py:113-230).
 
@@ -137,9 +155,9 @@ def bin_rays(bins_x, bins_y, bins_z, origin, rays, depth,
     points = origin[..., None, None, :] + rays * depth
     px, py, pz = points[..., 0], points[..., 1], points[..., 2]
 
-    ind_x = bucketize(px, bins_x)
-    ind_y = bucketize(py, bins_y)
-    ind_z = bucketize(pz, bins_z)
+    ind_x = bucketize(px, bins_x, resolution)
+    ind_y = bucketize(py, bins_y, resolution)
+    ind_z = bucketize(pz, bins_z, resolution)
 
     d = depth[..., 0]
     valid = ((d >= min_ray_depth) & (d <= max_ray_depth) &
@@ -147,11 +165,11 @@ def bin_rays(bins_x, bins_y, bins_z, origin, rays, depth,
              (ind_y >= 0) & (ind_y < bins_y.shape[0] - 1) &
              (ind_z >= 0) & (ind_z < bins_z.shape[0] - 1))
 
-    # fraction through the cell, via the true edge positions
+    # fraction through the cell, via analytically recomputed edges
     def _ratio(p, ind, bins):
         safe = jnp.clip(ind, 0, bins.shape[0] - 2)
-        left = bins[safe]
-        right = bins[safe + 1]
+        left = _edge(bins, safe, resolution)
+        right = _edge(bins, safe + 1, resolution)
         return (p - left) / (right - left)
 
     ratio_x = _ratio(px, ind_x, bins_x)

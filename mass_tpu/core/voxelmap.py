@@ -143,7 +143,8 @@ class VoxelMap:
         return G.bin_rays(self.bins_x, self.bins_y, self.bins_z,
                           position, oriented, depth,
                           min_ray_depth=min_ray_depth,
-                          max_ray_depth=max_ray_depth)
+                          max_ray_depth=max_ray_depth,
+                          resolution=self.geometry.grid_resolution)
 
     def update_classes(self, rays: jax.Array, position: jax.Array,
                        yaw: jax.Array, elevation: jax.Array,

@@ -50,9 +50,9 @@ SUB = 256
 def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
             ids_ref, w_ref, cls_ref,                 # records in HBM
             map_hbm_in, map_hbm_out,                 # [F, V] in HBM
-            rec_ids, rec_w, rec_cls,                 # [CHUNK] VMEM
+            rec_ids, rec_w, rec_cls,                 # [2*CHUNK] VMEM
             span_buf,                                # [F, SPAN] VMEM
-            sems,                                    # 4 DMA semaphores
+            sems, span_sem,                          # DMA semaphores
             *, num_features: int, interpolation_weight: float):
     """Grid step = one voxel-id span.  Untouched spans are skipped
     entirely (the map output aliases the input, so skipped spans keep
@@ -69,40 +69,63 @@ def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
     @pl.when(count > 0)
     def _process():
         load = pltpu.make_async_copy(
-            map_hbm_in.at[:, pl.ds(base, SPAN)], span_buf, sems.at[3])
+            map_hbm_in.at[:, pl.ds(base, SPAN)], span_buf, span_sem)
         load.start()
         _accumulate_and_blend(
             starts_ref, ids_ref, w_ref, cls_ref, map_hbm_out, rec_ids,
-            rec_w, rec_cls, span_buf, sems, i, start, end, count,
-            aligned, base, load, num_features, interpolation_weight)
+            rec_w, rec_cls, span_buf, sems, span_sem, i, start, end,
+            count, aligned, base, load, num_features,
+            interpolation_weight)
 
 
 def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
                           map_hbm_out, rec_ids, rec_w, rec_cls,
-                          span_buf, sems, i, start, end, count, aligned,
-                          base, load, num_features,
+                          span_buf, sems, span_sem, i, start, end,
+                          count, aligned, base, load, num_features,
                           interpolation_weight):
+    n_chunks = jnp.where(count > 0,
+                         (end - aligned + CHUNK - 1) // CHUNK, 0)
+
+    def _copies(k, slot):
+        off = pl.multiple_of(aligned + k * CHUNK, CHUNK)
+        dst = pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)
+        return [
+            pltpu.make_async_copy(
+                ids_ref.at[pl.ds(off, CHUNK)], rec_ids.at[dst],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                w_ref.at[pl.ds(off, CHUNK)], rec_w.at[dst],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                cls_ref.at[pl.ds(off, CHUNK)], rec_cls.at[dst],
+                sems.at[slot, 2]),
+        ]
+
     def body(acc):
         acc[:] = jnp.zeros_like(acc)
 
-        def chunk_body(k, _):
-            off = pl.multiple_of(aligned + k * CHUNK, CHUNK)
-            copies = [
-                pltpu.make_async_copy(
-                    ids_ref.at[pl.ds(off, CHUNK)], rec_ids, sems.at[0]),
-                pltpu.make_async_copy(
-                    w_ref.at[pl.ds(off, CHUNK)], rec_w, sems.at[1]),
-                pltpu.make_async_copy(
-                    cls_ref.at[pl.ds(off, CHUNK)], rec_cls, sems.at[2]),
-            ]
-            for c in copies:
+        @pl.when(n_chunks > 0)
+        def _prologue():
+            for c in _copies(0, 0):
                 c.start()
-            for c in copies:
+
+        def chunk_body(k, _):
+            slot = k % 2
+
+            # double-buffer: next chunk's records stream in while this
+            # one computes
+            @pl.when(k + 1 < n_chunks)
+            def _prefetch():
+                for c in _copies(k + 1, (k + 1) % 2):
+                    c.start()
+
+            for c in _copies(k, slot):
                 c.wait()
 
-            all_ids = rec_ids[:]
-            all_w = rec_w[:]
-            all_cls = rec_cls[:]
+            sl = pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)
+            all_ids = rec_ids[sl]
+            all_w = rec_w[sl]
+            all_cls = rec_cls[sl]
             span_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (SUB, SPAN), 1)
             f_iota = jax.lax.broadcasted_iota(
@@ -112,29 +135,34 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
 
             for s in range(CHUNK // SUB):
                 lo = s * SUB
-                slots = jax.lax.slice(all_ids, (lo,),
-                                      (lo + SUB,)) - base
-                g_idx = aligned + k * CHUNK + lo + sub_iota
-                valid = (g_idx >= start) & (g_idx < end)
-                onehot = jnp.where(
-                    (slots[:, None] == span_iota) & valid[:, None],
-                    1.0, 0.0)
+                block_lo = aligned + k * CHUNK + lo
 
-                w = jax.lax.slice(all_w, (lo,), (lo + SUB,))
-                cls = jax.lax.slice(all_cls, (lo,), (lo + SUB,))
-                w2 = w * w
-                baug = jnp.where(cls[:, None] == f_iota,
-                                 w2[:, None], 0.0)
-                baug = jnp.where(f_iota == num_features, w[:, None],
-                                 baug)
-                baug = jnp.where(f_iota == num_features + 1,
-                                 w2[:, None], baug)
-                acc[:] += jax.lax.dot_general(
-                    baug, onehot, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                # most spans hold far fewer records than a chunk: skip
+                # sub-blocks entirely outside [start, end)
+                @pl.when((block_lo < end) & (block_lo + SUB > start))
+                def _sub():
+                    slots = jax.lax.slice(all_ids, (lo,),
+                                          (lo + SUB,)) - base
+                    g_idx = block_lo + sub_iota
+                    valid = (g_idx >= start) & (g_idx < end)
+                    onehot = jnp.where(
+                        (slots[:, None] == span_iota) & valid[:, None],
+                        1.0, 0.0)
+
+                    w = jax.lax.slice(all_w, (lo,), (lo + SUB,))
+                    cls = jax.lax.slice(all_cls, (lo,), (lo + SUB,))
+                    w2 = w * w
+                    baug = jnp.where(cls[:, None] == f_iota,
+                                     w2[:, None], 0.0)
+                    baug = jnp.where(f_iota == num_features,
+                                     w[:, None], baug)
+                    baug = jnp.where(f_iota == num_features + 1,
+                                     w2[:, None], baug)
+                    acc[:] += jax.lax.dot_general(
+                        baug, onehot, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             return 0
 
-        n_chunks = (end - aligned + CHUNK - 1) // CHUNK
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
         iw = interpolation_weight
@@ -146,7 +174,7 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
         load.wait()
         span_buf[:] = span_buf[:] * mult[None, :] + add
         store = pltpu.make_async_copy(
-            span_buf, map_hbm_out.at[:, pl.ds(base, SPAN)], sems.at[3])
+            span_buf, map_hbm_out.at[:, pl.ds(base, SPAN)], span_sem)
         store.start()
         store.wait()
 
@@ -195,11 +223,12 @@ def splat_onehot_cmajor(data: jax.Array, ids: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK,), jnp.int32),
-            pltpu.VMEM((CHUNK,), jnp.float32),
-            pltpu.VMEM((CHUNK,), jnp.int32),
+            pltpu.VMEM((2 * CHUNK,), jnp.int32),
+            pltpu.VMEM((2 * CHUNK,), jnp.float32),
+            pltpu.VMEM((2 * CHUNK,), jnp.int32),
             pltpu.VMEM((num_features, SPAN), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
 

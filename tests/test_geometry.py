@@ -46,12 +46,14 @@ def test_uniform_bins_matches_oracle():
 
 
 def test_bucketize_matches_searchsorted():
+    """Exact agreement with a binary search over the analytic bins,
+    including adversarial points at/straddling every edge."""
     rng = np.random.RandomState(1)
     bins = np.asarray(G.uniform_bins(jnp.float32(-0.3), 33, 0.05))
     x = rng.uniform(bins[0] - 0.2, bins[-1] + 0.2, size=500)
-    x = np.concatenate([x, bins, bins - 1e-7,
-                        bins + 1e-7]).astype(np.float32)
-    out = np.asarray(G.bucketize(jnp.asarray(x), jnp.asarray(bins)))
+    x = np.concatenate([x, bins, np.nextafter(bins, -np.inf),
+                        np.nextafter(bins, np.inf)]).astype(np.float32)
+    out = np.asarray(G.bucketize(jnp.asarray(x), jnp.asarray(bins), 0.05))
     ref = R.ref_bucketize(x, bins)
     np.testing.assert_array_equal(out, ref)
 
