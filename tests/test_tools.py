@@ -95,3 +95,26 @@ def test_detector_dataset(tmp_path):
         recs = json.load(f)
     assert all("file_name" in r and "annotations" in r for r in recs)
     assert any(r["annotations"] for r in recs)
+
+
+def test_object_analytics_aggregation(tmp_path):
+    import csv
+    d = tmp_path / "results"
+    d.mkdir()
+    rows = [
+        dict(type="Mug", initial_correct=False, final_correct=True,
+             initial_distance=1.0, final_distance=0.05),
+        dict(type="Mug", initial_correct=False, final_correct=False,
+             initial_distance=2.0, final_distance=1.9),
+        dict(type="Pen", initial_correct=True, final_correct=True,
+             initial_distance=0.0, final_distance=0.0),
+    ]
+    with open(d / "analytics-0.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=[""] + list(rows[0]))
+        w.writeheader()
+        for i, r in enumerate(rows):
+            w.writerow({"": i, **r})
+    table = analyze.object_analytics([str(tmp_path)])
+    assert table.loc["Mug", "count"] == 2
+    assert abs(table.loc["Mug", "fixed_rate"] - 0.5) < 1e-9
+    assert "Pen" not in table.index  # initially correct: excluded
