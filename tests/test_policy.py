@@ -74,15 +74,25 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0] * 0.5
 
 
-def test_reference_policy_checkpoint_loads():
-    """Load the reference's shipped policy.pth (if present) through the
-    import path and run a forward pass — behavioral-parity plumbing."""
+def test_reference_policy_checkpoint_parity():
+    """The shipped policy.pth (if present) produces the same scores
+    through the flax import path as through torch — full behavioral
+    parity of the semantic-search policy."""
     import os
     import pytest
+    import torch
     path = "/root/reference/policy.pth"
     if not os.path.exists(path):
         pytest.skip("reference checkpoint unavailable")
+    state = torch.load(path, map_location="cpu", weights_only=True)
+
+    net = _torch_net().eval()
+    net.load_state_dict(state)
     params = pol.load_reference_policy(path)
-    out = pol.goal_logits(params, jnp.zeros((1, 24, 24, 54)))
-    assert out.shape == (1, 24 * 24)
-    assert np.isfinite(np.asarray(out)).all()
+
+    x = np.random.RandomState(7).rand(1, 24, 24, 54).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    out = np.asarray(pol.SearchPolicy().apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
