@@ -68,9 +68,17 @@ class RearrangementAgent:
                       map_depth=config.map_depth,
                       grid_resolution=config.grid_resolution)
         self.maps = MapSet(
-            occupancy=OccupancyMap(cam, **geo_kw),
             semantic0=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw),
             semantic1=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw))
+        if config.navigate_on_semantic:
+            # occupancy == semantic0's channel sum when updated in
+            # lockstep (phase one updates both from every frame), so
+            # navigation reads semantic0 and the occupancy layer is
+            # dropped from the hot loop
+            self.navigation_map = "semantic0"
+        else:
+            self.maps["occupancy"] = OccupancyMap(cam, **geo_kw)
+            self.navigation_map = "occupancy"
         if config.use_feature_matching:
             assert feature_backbone is not None, (
                 "feature matching needs a backbone")
@@ -207,7 +215,8 @@ class RearrangementAgent:
         loc = walkthrough.agent_location()
         self.maps.reset_all((loc.x, loc.z, loc.y))
         controller = NavigationController(
-            walkthrough, "occupancy", self.maps, cfg.nav, rng=self.rng)
+            walkthrough, self.navigation_map, self.maps, cfg.nav,
+            rng=self.rng)
 
         writer = (self.video_writer_factory(task_id)
                   if self.video_writer_factory else None)
@@ -345,7 +354,7 @@ class RearrangementAgent:
 
     def _make_callback(self, controller, writer):
         def callback(obs):
-            occ = self.maps["occupancy"].voxel_map
+            occ = self.maps[self.navigation_map].voxel_map
             cell = np.asarray(occ.world_to_map(
                 jnp.asarray(obs["position"], jnp.float32)))
             path_cells = None

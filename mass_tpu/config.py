@@ -128,6 +128,13 @@ class AgentConfig:
     semantic_search_unshuffle: bool = False
     use_feature_matching: bool = False
     record_found_objects: bool = False
+    # navigate on the walkthrough semantic map instead of a dedicated
+    # occupancy map: they are identical when updated in lockstep (an
+    # occupancy update equals the semantic map's channel sum — see
+    # tests/test_voxelmap.py::test_occupancy_equals_semantic_channel_sum),
+    # which removes a third of per-step map-update work.  Set False to
+    # mirror the reference's separate occupancy layer exactly.
+    navigate_on_semantic: bool = True
 
     logdir: Optional[str] = None
     stage: str = "train"

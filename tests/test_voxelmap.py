@@ -272,3 +272,31 @@ def test_update_classes_matches_dense_onehot():
     np.testing.assert_allclose(np.asarray(vm_cls.grid()),
                                np.asarray(vm_dense.grid()), atol=1e-5)
     assert np.asarray(vm_cls.grid()).any()
+
+
+def test_occupancy_equals_semantic_channel_sum():
+    """An occupancy map updated in lockstep with a semantic map from the
+    same frames equals the semantic map's channel sum identically (both
+    satisfy x' = x*mult + iw*S2/W from zero init) — the agent exploits
+    this to navigate off the semantic map without a separate occupancy
+    update."""
+    rng = np.random.RandomState(12)
+    geo_sem = dataclasses.replace(GEO, feature_size=5)
+    geo_occ = dataclasses.replace(GEO, feature_size=1)
+    rays = jnp.asarray(
+        R.ref_camera_rays(CAM["h"], CAM["w"], CAM["f"], CAM["f"]))
+    sem = VoxelMap.create(geo_sem, ORIGIN)
+    occ = VoxelMap.create(geo_occ, ORIGIN)
+    for _ in range(3):
+        depth, _, pose = _make_frame(rng, special_depths=False)
+        classes = rng.randint(0, 5, (CAM["h"], CAM["w"])).astype(
+            np.int32)
+        args = (jnp.asarray(pose["position"]), pose["yaw"],
+                pose["elevation"], jnp.asarray(depth))
+        sem = sem.update_classes(rays, *args, jnp.asarray(classes))
+        occ = occ.update_classes(
+            rays, *args, jnp.zeros((CAM["h"], CAM["w"]), jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(occ.grid())[..., 0],
+        np.asarray(sem.grid()).sum(-1), atol=1e-5)
+    assert np.asarray(occ.grid()).any()
