@@ -24,16 +24,21 @@ class Bottleneck(nn.Module):
     features: int
     stride: int = 1
     project: bool = False
+    # detectron2 Caffe-style ResNets stride the 1x1 conv; torchvision
+    # strides the 3x3 (weights are identical, numerics are not)
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False,
-                    name="conv1")(x)
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
+        y = nn.Conv(self.features, (1, 1), strides=(s1, s1),
+                    use_bias=False, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=True, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3),
-                    strides=(self.stride, self.stride),
+                    strides=(s3, s3),
                     padding=[(1, 1), (1, 1)], use_bias=False,
                     name="conv2")(y)
         y = nn.BatchNorm(use_running_average=True, name="bn2")(y)
