@@ -150,16 +150,21 @@ class FPN(nn.Module):
 
 
 class RPNHead(nn.Module):
-    """Shared 3x3 conv + per-anchor objectness and box deltas."""
+    """Shared 3x3 conv + per-anchor objectness and box deltas
+    (detectron2 initialization: N(0, 0.01) kernels)."""
 
     num_anchors: int = 3
 
     @nn.compact
     def __call__(self, feat):
+        init = nn.initializers.normal(0.01)
         t = nn.relu(nn.Conv(feat.shape[-1], (3, 3),
-                            padding=[(1, 1), (1, 1)], name="conv")(feat))
-        obj = nn.Conv(self.num_anchors, (1, 1), name="objectness")(t)
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="deltas")(t)
+                            padding=[(1, 1), (1, 1)], kernel_init=init,
+                            name="conv")(feat))
+        obj = nn.Conv(self.num_anchors, (1, 1), kernel_init=init,
+                      name="objectness")(t)
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init,
+                         name="deltas")(t)
         return obj, deltas
 
 
@@ -182,8 +187,12 @@ class BoxPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        logits = nn.Dense(self.num_classes + 1, name="cls_score")(x)
-        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        logits = nn.Dense(self.num_classes + 1,
+                          kernel_init=nn.initializers.normal(0.01),
+                          name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4,
+                          kernel_init=nn.initializers.normal(0.001),
+                          name="bbox_pred")(x)
         return logits, deltas.reshape((x.shape[0], self.num_classes, 4))
 
 

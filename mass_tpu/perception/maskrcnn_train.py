@@ -1,0 +1,406 @@
+"""Mask R-CNN training: fixed-shape target assignment, RPN + ROI-head
+losses, one jitted SPMD step data-parallel over the device mesh.
+
+The reference fine-tunes detectron2's COCO R50-FPN on the generated
+THOR dataset with one process per GPU and NCCL DDP (reference:
+train_maskrcnn.py:50-136).  Here the whole step — backbone, RPN,
+proposal generation, matching, sampling, and all five losses — is a
+single jitted program; the batch shards over the mesh's ``data`` axis,
+parameters are replicated, and jit's automatic collectives reduce
+gradients over ICI (SURVEY.md §5.8).
+
+Everything is fixed-shape: anchor/proposal matching uses weighted
+top-k sampling (eligible items get random tiebreak scores; slots whose
+pick is ineligible carry zero loss weight) instead of host-side
+dynamic subsampling.
+
+    python -m mass_tpu.perception.train_maskrcnn --dataset d \
+        --epochs 2 --batch-size 4 --logdir /tmp/mrcnn
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mass_tpu.ops.detection import box_iou, roi_align
+from mass_tpu.parallel.mesh import make_mesh
+from mass_tpu.perception import maskrcnn as M
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Matching / sampling hyperparameters (detectron2 defaults)."""
+
+    max_gt: int = 16
+    rpn_pos_iou: float = 0.7
+    rpn_neg_iou: float = 0.3
+    rpn_pos_samples: int = 32
+    rpn_neg_samples: int = 96
+    roi_fg_iou: float = 0.5
+    roi_fg_samples: int = 32
+    roi_bg_samples: int = 96
+    mask_size: int = 28
+
+
+def sample_eligible(eligible: jax.Array, k: int, rng) -> Tuple[
+        jax.Array, jax.Array]:
+    """Pick up to ``k`` random indices where ``eligible`` — fixed shape.
+
+    Returns ``(idx [k], weight [k])``: random-tiebreak top-k over the
+    eligibility mask; slots whose pick is ineligible get weight 0."""
+    noise = jax.random.uniform(rng, eligible.shape)
+    score = jnp.where(eligible, 1.0 + noise, noise)
+    _, idx = jax.lax.top_k(score, min(k, eligible.shape[-1]))
+    return idx, eligible[idx].astype(jnp.float32)
+
+
+def rpn_targets(cfg: TrainConfig, anchors: jax.Array,
+                gt_boxes: jax.Array, gt_valid: jax.Array):
+    """Anchor labels + matched gt per anchor (detectron2 matcher:
+    IoU >= 0.7 positive, < 0.3 negative, plus the best anchor per gt
+    forced positive)."""
+    iou = box_iou(anchors, gt_boxes)                    # [N, G]
+    iou = jnp.where(gt_valid[None], iou, 0.0)
+    best = iou.max(axis=1)
+    best_gt = iou.argmax(axis=1)
+    pos = best >= cfg.rpn_pos_iou
+    neg = best < cfg.rpn_neg_iou
+    # low-quality matches: the highest-IoU anchor of each gt is positive
+    anchor_per_gt = iou.argmax(axis=0)                  # [G]
+    force = jnp.zeros(anchors.shape[0], jnp.bool_).at[
+        anchor_per_gt].max(gt_valid, mode="drop")
+    pos = pos | force
+    neg = neg & ~pos
+    return pos, neg, best_gt
+
+
+def smooth_l1(x: jax.Array) -> jax.Array:
+    # beta -> 0: pure L1 (detectron2's default for both RPN and box reg)
+    return jnp.abs(x)
+
+
+def image_losses(model: M.MaskRCNN, params, tcfg: TrainConfig,
+                 feats: List[jax.Array],
+                 rpn_out: List[Tuple[jax.Array, jax.Array]],
+                 anchors_cat: jax.Array, gt_boxes: jax.Array,
+                 gt_classes: jax.Array, gt_masks: jax.Array,
+                 gt_valid: jax.Array, rng) -> Dict[str, jax.Array]:
+    """All five losses for one image (vmapped over the batch)."""
+    c = model.config
+    r_obj, r_box, r_roi = jax.random.split(rng, 3)
+
+    # ---------------- RPN ----------------
+    obj_cat = jnp.concatenate([o.reshape(-1) for o, _ in rpn_out])
+    delta_cat = jnp.concatenate([d.reshape(-1, 4) for _, d in rpn_out])
+    pos, neg, best_gt = rpn_targets(tcfg, anchors_cat, gt_boxes,
+                                    gt_valid)
+    pi, pw = sample_eligible(pos, tcfg.rpn_pos_samples, r_obj)
+    ni, nw = sample_eligible(neg, tcfg.rpn_neg_samples, r_box)
+    sel = jnp.concatenate([pi, ni])
+    sel_w = jnp.concatenate([pw, nw])
+    sel_lab = jnp.concatenate([pw, jnp.zeros_like(nw)])
+    bce = optax.sigmoid_binary_cross_entropy(obj_cat[sel], sel_lab)
+    denom = jnp.maximum(sel_w.sum(), 1.0)
+    rpn_obj_loss = (bce * sel_w).sum() / denom
+
+    tgt = M.encode_boxes(anchors_cat[pi], gt_boxes[best_gt[pi]])
+    rpn_box_loss = (smooth_l1(delta_cat[pi] - tgt).sum(-1) *
+                    pw).sum() / denom
+
+    # ---------------- proposals (no grad into RPN plumbing) ----------
+    rpn_ng = [(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
+              for o, d in rpn_out]
+    proposals, _ = M.generate_proposals(c, rpn_ng, _split_anchors(
+        c, anchors_cat))
+    # detectron2 appends gt boxes so the box head always sees true fg
+    rois_all = jnp.concatenate([proposals, gt_boxes])
+
+    iou = box_iou(rois_all, gt_boxes)
+    iou = jnp.where(gt_valid[None], iou, 0.0)
+    best = iou.max(axis=1)
+    roi_gt = iou.argmax(axis=1)
+    fg = best >= tcfg.roi_fg_iou
+    bg = ~fg
+    fi, fw = sample_eligible(fg, tcfg.roi_fg_samples, r_roi)
+    bi, bw = sample_eligible(bg, tcfg.roi_bg_samples,
+                             jax.random.fold_in(r_roi, 1))
+    sel = jnp.concatenate([fi, bi])
+    sel_w = jnp.concatenate([fw, bw])
+    n_sampled = jnp.maximum(sel_w.sum(), 1.0)
+
+    sel_boxes = rois_all[sel]
+    rois7 = M.multilevel_roi_align(feats, sel_boxes, 7)
+    logits, deltas = model.apply(params, rois7, method=M.MaskRCNN.box)
+
+    fg_cls = gt_classes[roi_gt[fi]]                     # [F]
+    labels = jnp.concatenate([
+        jnp.where(fw > 0, fg_cls, c.num_classes),
+        jnp.full(bi.shape, c.num_classes, jnp.int32)])
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    cls_loss = (ce * sel_w).sum() / n_sampled
+
+    fg_deltas = jnp.take_along_axis(
+        deltas[:fi.shape[0]],
+        fg_cls[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    box_tgt = M.encode_boxes(rois_all[fi], gt_boxes[roi_gt[fi]],
+                             M.BOX_REG_WEIGHTS)
+    box_loss = (smooth_l1(fg_deltas - box_tgt).sum(-1) *
+                fw).sum() / n_sampled
+
+    # ---------------- masks ----------------
+    fg_boxes = rois_all[fi]
+    rois14 = M.multilevel_roi_align(feats, fg_boxes, 14)
+    mask_logits = model.apply(params, rois14, method=M.MaskRCNN.masks)
+    mask_pred = jnp.take_along_axis(
+        mask_logits, fg_cls[:, None, None, None].astype(jnp.int32),
+        axis=-1)[..., 0]                                # [F, 28, 28]
+    fg_masks = gt_masks[roi_gt[fi]]                     # [F, H, W]
+    crop = jax.vmap(lambda m, b: roi_align(
+        m[..., None], b[None], tcfg.mask_size)[0, ..., 0])(
+            fg_masks, fg_boxes)
+    mask_tgt = (crop >= 0.5).astype(jnp.float32)
+    mbce = optax.sigmoid_binary_cross_entropy(mask_pred, mask_tgt)
+    mask_loss = (mbce.mean((1, 2)) * fw).sum() / jnp.maximum(
+        fw.sum(), 1.0)
+
+    return dict(rpn_obj=rpn_obj_loss, rpn_box=rpn_box_loss,
+                cls=cls_loss, box=box_loss, mask=mask_loss)
+
+
+def _split_anchors(config: M.MaskRCNNConfig,
+                   anchors_cat: jax.Array) -> List[jax.Array]:
+    sizes = [a.shape[0] for a in M.level_anchors(config)]
+    out, start = [], 0
+    for s in sizes:
+        out.append(anchors_cat[start:start + s])
+        start += s
+    return out
+
+
+def batch_loss(model: M.MaskRCNN, params, tcfg: TrainConfig,
+               anchors_cat, images, gt_boxes, gt_classes, gt_masks,
+               gt_valid, rng):
+    feats = model.apply(params, images, method=M.MaskRCNN.features)
+    rpn = [model.apply(params, f, method=M.MaskRCNN.rpn) for f in feats]
+    b = images.shape[0]
+    rngs = jax.random.split(rng, b)
+
+    def per_image(f_i, r_i, boxes, classes, masks, valid, key):
+        return image_losses(model, params, tcfg, f_i, r_i, anchors_cat,
+                            boxes, classes, masks, valid, key)
+
+    losses = jax.vmap(per_image)(feats, rpn, gt_boxes, gt_classes,
+                                 gt_masks, gt_valid, rngs)
+    stacked = {k: v.mean() for k, v in losses.items()}
+    stacked["total"] = sum(stacked.values())
+    return stacked
+
+
+def make_train_step(model: M.MaskRCNN, tx, tcfg: TrainConfig, mesh):
+    """Returns ``run(variables, opt_state, batch, rng)``.  Only the
+    ``params`` collection trains; batch norm stays frozen (detectron2
+    FrozenBN semantics — train_maskrcnn.py inherits the same)."""
+    anchors_cat = jnp.concatenate(
+        [jnp.asarray(a) for a in M.level_anchors(model.config)])
+    batch_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def loss_fn(params, stats, images, boxes, classes, masks, valid,
+                rng):
+        variables = {"params": params, "batch_stats": stats}
+        losses = batch_loss(model, variables, tcfg, anchors_cat,
+                            images, boxes, classes, masks, valid, rng)
+        return losses["total"], losses
+
+    @jax.jit
+    def step(params, stats, opt_state, images, boxes, classes, masks,
+             valid, rng):
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, stats, images, boxes,
+                                   classes, masks, valid, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    def run(variables, opt_state, batch, rng):
+        images, boxes, classes, masks, valid = (
+            jax.device_put(jnp.asarray(x), batch_sh) for x in batch)
+        variables = jax.device_put(variables, rep)
+        params, opt_state, losses = step(
+            variables["params"], variables["batch_stats"], opt_state,
+            images, boxes, classes, masks, valid, rng)
+        return ({"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                opt_state, losses)
+
+    return run
+
+
+# ---------------------------------------------------------------------
+# dataset: COCO-style records -> fixed-shape instance targets
+# ---------------------------------------------------------------------
+
+def rasterize_record(record: Dict, max_gt: int):
+    """One record -> (rgb, boxes [G,4] xyxy, classes [G], masks
+    [G,H,W], valid [G]) with polygon masks rasterized host-side."""
+    import cv2
+    import imageio.v2 as imageio
+    rgb = imageio.imread(record["file_name"]).astype(np.float32) / 255.0
+    h, w = record["height"], record["width"]
+    boxes = np.zeros((max_gt, 4), np.float32)
+    classes = np.zeros((max_gt,), np.int32)
+    masks = np.zeros((max_gt, h, w), np.float32)
+    valid = np.zeros((max_gt,), bool)
+    anns = record["annotations"][:max_gt]
+    for i, ann in enumerate(anns):
+        x, y, bw, bh = ann["bbox"]                     # XYWH
+        boxes[i] = (x, y, x + bw, y + bh)
+        classes[i] = ann["category_id"]
+        mask = np.zeros((h, w), np.uint8)
+        polys = [np.asarray(p, np.float32).reshape(-1, 2).round()
+                 .astype(np.int32) for p in ann["segmentation"]]
+        cv2.fillPoly(mask, polys, 1)
+        masks[i] = mask
+        valid[i] = True
+    return rgb[..., :3], boxes, classes, masks, valid
+
+
+def load_instance_split(dataset_dir: str, split: str, max_gt: int):
+    with open(os.path.join(dataset_dir, f"{split}.json")) as f:
+        records = json.load(f)
+    cols = [rasterize_record(r, max_gt) for r in records]
+    return tuple(np.stack([c[i] for c in cols]) for i in range(5))
+
+
+def evaluate_fused(model, variables, images, targets_sem,
+                   detection_threshold: float = 0.5,
+                   class_offset: int = 1):
+    """Proxy metric in place of COCOEvaluator: run full inference, fuse
+    masks into the per-pixel class image (the only consumer downstream,
+    segmentation_config.py:311-337) and score pixel accuracy / mIoU
+    against GT semantics."""
+    from mass_tpu.perception.segmentation import detections_to_semantic
+    from mass_tpu import taxonomy
+    run = M.make_detector(variables, model.config,
+                          class_offset=class_offset)
+    num_classes = taxonomy.NUM_CLASSES
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    for rgb, sem in zip(images, targets_sem):
+        det = run(jnp.asarray(rgb))
+        pred = np.asarray(detections_to_semantic(
+            det, detection_threshold, num_classes))[..., 0]
+        idx = sem.astype(np.int64) * num_classes + pred
+        cm += np.bincount(idx.reshape(-1),
+                          minlength=num_classes * num_classes).reshape(
+                              num_classes, num_classes)
+    inter = np.diag(cm).astype(np.float64)
+    union = cm.sum(0) + cm.sum(1) - inter
+    seen = union > 0
+    return dict(
+        miou=float((inter[seen] / union[seen]).mean()) if seen.any()
+        else 0.0,
+        pixel_accuracy=float(inter.sum() / max(cm.sum(), 1)))
+
+
+def train(dataset_dir: str, logdir: str, epochs: int = 1,
+          batch_size: int = 2, learning_rate: float = 0.005,
+          seed: int = 0, image_size: int = 224, num_classes: int = 53,
+          config: M.MaskRCNNConfig = None,
+          tcfg: TrainConfig = TrainConfig(), resume: bool = False):
+    """Fine-tune/ train the detector on the generated dataset.
+
+    ``num_classes`` defaults to the dataset convention (taxonomy minus
+    OccupiedSpace, tools/detector_dataset.py category_id = class - 1);
+    the reference trains all 54 (train_maskrcnn.py:72-99)."""
+    if config is None:
+        config = M.MaskRCNNConfig(num_classes=num_classes,
+                                  image_size=image_size)
+    data = load_instance_split(dataset_dir, "training", tcfg.max_gt)
+    images = data[0]
+
+    n_data = jax.device_count()
+    while batch_size % n_data:
+        n_data -= 1
+    mesh = make_mesh((n_data,), ("data",))
+
+    model = M.MaskRCNN(config)
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, config.image_size, config.image_size, 3)))
+    if resume and logdir and os.path.exists(
+            os.path.join(logdir, "maskrcnn")):
+        from mass_tpu.utils.checkpoint import load_pytree
+        variables = load_pytree(os.path.join(logdir, "maskrcnn"),
+                                variables)
+
+    # reference LR schedule: steps at epochs-2 / epochs-1
+    # (train_maskrcnn.py:96-99)
+    steps_per_epoch = max(len(images) // batch_size, 1)
+    boundaries = {max((epochs - 2) * steps_per_epoch, 1): 0.1,
+                  max((epochs - 1) * steps_per_epoch, 2): 0.1}
+    schedule = optax.piecewise_constant_schedule(learning_rate,
+                                                 boundaries)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.sgd(schedule, momentum=0.9))
+    opt_state = tx.init(variables["params"])
+    run = make_train_step(model, tx, tcfg, mesh)
+
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    history = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses = []
+        order = rng.permutation(len(images))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            sel = order[i:i + batch_size]
+            batch = tuple(d[sel] for d in data)
+            key, sub = jax.random.split(key)
+            variables, opt_state, loss = run(variables, opt_state,
+                                             batch, sub)
+            losses.append({k: float(v) for k, v in loss.items()})
+        mean = {k: float(np.mean([l[k] for l in losses]))
+                for k in losses[0]}
+        mean.update(epoch=epoch, sec=time.time() - t0)
+        history.append(mean)
+        print(mean)
+
+    if logdir:
+        os.makedirs(logdir, exist_ok=True)
+        from mass_tpu.utils.checkpoint import save_pytree
+        save_pytree(os.path.join(logdir, "maskrcnn"), variables)
+        with open(os.path.join(logdir, "history.json"), "w") as f:
+            json.dump(history, f, indent=2)
+    return variables, history
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("mask r-cnn trainer")
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--logdir", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--learning-rate", type=float, default=0.005)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--num-classes", type=int, default=53)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+    train(args.dataset, args.logdir, args.epochs, args.batch_size,
+          args.learning_rate, args.seed, args.image_size,
+          args.num_classes, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,7 @@ from mass_tpu.perception.detector import SegmenterUNet
 def load_split(dataset_dir: str, split: str = "training"):
     """Images + per-pixel class targets from the detector-dataset layout
     (tools/detector_dataset.py)."""
-    import imageio
+    import imageio.v2 as imageio
     with open(os.path.join(dataset_dir, f"{split}.json")) as f:
         records = json.load(f)
     images, targets = [], []

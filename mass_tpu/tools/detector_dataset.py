@@ -75,7 +75,7 @@ def record_from_frame(rgb: np.ndarray, semantic: np.ndarray,
 
     rgb_path = os.path.join(logdir, "images", f"{image_id}-rgb.png")
     os.makedirs(os.path.dirname(rgb_path), exist_ok=True)
-    import imageio
+    import imageio.v2 as imageio
     imageio.imwrite(rgb_path, (rgb * 255).astype(np.uint8))
     imageio.imwrite(os.path.join(logdir, "images",
                                  f"{image_id}-sem.png"),
