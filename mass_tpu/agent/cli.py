@@ -36,6 +36,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--total-tasks", type=int, default=50)
 
     p.add_argument("--ground-truth-segmentation", action="store_true")
+    p.add_argument("--detector-checkpoint", type=str, default=None,
+                   help="learned-segmentation weights used when "
+                        "--ground-truth-segmentation is absent: a "
+                        "torch Mask R-CNN .pth (detectron2/"
+                        "torchvision), or an orbax dir from "
+                        "perception.train_maskrcnn / train_detector")
+    p.add_argument("--detector-arch", type=str, default="maskrcnn",
+                   choices=["maskrcnn", "unet"],
+                   help="architecture of an orbax --detector-checkpoint")
+    p.add_argument("--detector-num-classes", type=int, default=None,
+                   help="detector class count (default: 54 for .pth "
+                        "reference checkpoints, 53 for orbax ones "
+                        "trained on the generated dataset)")
     p.add_argument("--ground-truth-disagreement", action="store_true")
     p.add_argument("--ground-truth-semantic-search", action="store_true")
     p.add_argument("--semantic-search-walkthrough", action="store_true")
@@ -114,19 +127,67 @@ def config_from_args(args) -> AgentConfig:
         total_tasks=args.total_tasks)
 
 
+def load_segmentation_sensor(args):
+    """Build the learned-segmentation sensor when GT is off (reference:
+    the Mask R-CNN branch of segmentation_config.py:207-218)."""
+    if args.ground_truth_segmentation:
+        return None
+    if args.detector_checkpoint is None:
+        raise SystemExit(
+            "without --ground-truth-segmentation a learned detector is "
+            "required: pass --detector-checkpoint (torch .pth or orbax "
+            "dir; the reference's equivalent is "
+            "mass/thor/model_final.pth)")
+    from mass_tpu.perception.segmentation import DetectorSegmentation
+    path = args.detector_checkpoint
+    if path.endswith(".pth"):
+        from mass_tpu.perception import maskrcnn as mrcnn
+        ncls = args.detector_num_classes or 54
+        cfg = mrcnn.MaskRCNNConfig(num_classes=ncls,
+                                   image_size=args.camera_size)
+        variables, cfg = mrcnn.load_torch_checkpoint(path, cfg)
+        model = mrcnn.make_detector(variables, cfg, class_offset=0)
+        return DetectorSegmentation(model, args.detection_threshold)
+    from mass_tpu.utils.checkpoint import load_pytree
+    if args.detector_arch == "maskrcnn":
+        import jax
+        import jax.numpy as jnp
+        from mass_tpu.perception import maskrcnn as mrcnn
+        ncls = args.detector_num_classes or 53
+        cfg = mrcnn.MaskRCNNConfig(num_classes=ncls,
+                                   image_size=args.camera_size)
+        model, like = mrcnn.init_maskrcnn(jax.random.PRNGKey(0), cfg)
+        variables = load_pytree(path, like)
+        offset = 1 if ncls < 54 else 0  # dataset ids skip OccupiedSpace
+        model = mrcnn.make_detector(variables, cfg, class_offset=offset)
+        return DetectorSegmentation(model, args.detection_threshold)
+    from mass_tpu.perception.detector import (init_segmenter,
+                                              make_segmentation_sensor)
+    import jax
+    _, like = init_segmenter(jax.random.PRNGKey(0), args.camera_size)
+    params = load_pytree(path, like)
+    return make_segmentation_sensor(params)
+
+
 def make_sampler(args, config: AgentConfig):
     if args.backend == "thor":
         from mass_tpu.env.thor import ThorTaskSampler
-        return ThorTaskSampler(
+        sampler = ThorTaskSampler(
             stage=args.stage,
-            ground_truth=args.ground_truth_segmentation,
+            ground_truth=True,  # learned segmentation wraps below
             detection_threshold=args.detection_threshold,
             screen_size=args.camera_size)
-    from mass_tpu.env.rearrange import GridWorldTaskSampler
-    seeds = range(args.start_task,
-                  args.start_task +
-                  args.total_tasks * args.every_tasks + 1)
-    return GridWorldTaskSampler(list(seeds), camera=config.camera)
+    else:
+        from mass_tpu.env.rearrange import GridWorldTaskSampler
+        seeds = range(args.start_task,
+                      args.start_task +
+                      args.total_tasks * args.every_tasks + 1)
+        sampler = GridWorldTaskSampler(list(seeds), camera=config.camera)
+    sensor = load_segmentation_sensor(args)
+    if sensor is not None:
+        from mass_tpu.perception.segmentation import SegmentationSampler
+        sampler = SegmentationSampler(sampler, sensor)
+    return sampler
 
 
 def load_policy(path: Optional[str]):

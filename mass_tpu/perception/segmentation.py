@@ -105,3 +105,46 @@ class DetectorSegmentation:
         det = self.model(jnp.asarray(observation["rgb"]))
         return np.asarray(detections_to_semantic(
             det, self.detection_threshold))
+
+
+class SegmentationTaskWrapper:
+    """Task decorator replacing GT ``semantic`` with a learned sensor.
+
+    The reference flips the same switch inside its semantic sensor
+    (ground_truth vs Mask R-CNN forward — reference:
+    segmentation_config.py:207-218, 273-337); here the simulator stays
+    untouched and the swap happens at the task seam.  The GT image is
+    stashed under ``gt_semantic`` for diagnostics."""
+
+    def __init__(self, task, sensor):
+        self._task = task
+        self._sensor = sensor
+
+    def get_observations(self):
+        obs = dict(self._task.get_observations())
+        if "semantic" in obs:
+            obs["gt_semantic"] = obs["semantic"]
+        obs["semantic"] = self._sensor(obs)
+        return obs
+
+    def __getattr__(self, name):
+        return getattr(self._task, name)
+
+
+class SegmentationSampler:
+    """Task-sampler decorator wrapping every task with a learned
+    segmentation sensor."""
+
+    def __init__(self, sampler, sensor):
+        self._sampler = sampler
+        self._sensor = sensor
+
+    def next_task(self):
+        return SegmentationTaskWrapper(self._sampler.next_task(),
+                                       self._sensor)
+
+    def skip_task(self):
+        return self._sampler.skip_task()
+
+    def __getattr__(self, name):
+        return getattr(self._sampler, name)
