@@ -32,6 +32,7 @@ from mass_tpu.match.differences import predict_scene_differences
 from mass_tpu.nav.controller import NavigationController
 from mass_tpu.search import policy as search_policy
 from mass_tpu.utils import visualization as viz
+from mass_tpu.utils.profiling import StageTimer
 
 PHASE_ONE_MAPS = ["occupancy", "semantic0", "feature0"]
 PHASE_TWO_MAPS = ["semantic1", "feature1"]
@@ -61,6 +62,7 @@ class RearrangementAgent:
         self.policy_params = policy_params
         self.video_writer_factory = video_writer_factory
         self.rng = rng or np.random.RandomState(0)
+        self.timer = StageTimer()
 
         cam = config.camera
         geo_kw = dict(map_height=config.map_height,
@@ -108,10 +110,12 @@ class RearrangementAgent:
         the z-collapsed semantic map (reference: agent.py:328-339)."""
         layer = self.maps[semantic_name]
         self._policy_key, sub = jax.random.split(self._policy_key)
-        cell = self._policy_goal_cell(self.policy_params,
-                                      layer.voxel_map.data, sub)
-        return np.asarray(layer.map_to_world(
-            cell.astype(jnp.float32)))
+        with self.timer.stage("search_policy"):
+            cell = self._policy_goal_cell(self.policy_params,
+                                          layer.voxel_map.data, sub)
+            goal = np.asarray(layer.map_to_world(
+                cell.astype(jnp.float32)))
+        return goal
 
     def _next_goal(self, controller, semantic_name: str,
                    gt_goals: List[np.ndarray],
@@ -154,12 +158,13 @@ class RearrangementAgent:
             candidates = (object_ids_to_move
                           if cfg.ground_truth_disagreement
                           else range(taxonomy.NUM_CLASSES))
-            cls, goals0, goals1 = predict_scene_differences(
-                self.maps["semantic0"].voxel_map,
-                self.maps["semantic1"].voxel_map,
-                fm0.voxel_map if fm0 else None,
-                fm1.voxel_map if fm1 else None,
-                objects_moved, candidates, cfg.match)
+            with self.timer.stage("matching"):
+                cls, goals0, goals1 = predict_scene_differences(
+                    self.maps["semantic0"].voxel_map,
+                    self.maps["semantic1"].voxel_map,
+                    fm0.voxel_map if fm0 else None,
+                    fm1.voxel_map if fm1 else None,
+                    objects_moved, candidates, cfg.match)
             if cls is None or task.is_done():
                 return
             objects_moved.add(cls)
@@ -210,13 +215,14 @@ class RearrangementAgent:
 
     def run_task(self, task_id: int) -> Dict:
         cfg = self.config
+        self.timer = StageTimer()       # fresh per-task stage timing
         walkthrough = self.sampler.next_task()
 
         loc = walkthrough.agent_location()
         self.maps.reset_all((loc.x, loc.z, loc.y))
         controller = NavigationController(
             walkthrough, self.navigation_map, self.maps, cfg.nav,
-            rng=self.rng)
+            rng=self.rng, timer=self.timer)
 
         writer = (self.video_writer_factory(task_id)
                   if self.video_writer_factory else None)
@@ -290,6 +296,9 @@ class RearrangementAgent:
             taxonomy.CLASS_NAMES[i] for i in object_ids_to_move]
         results["unshuffle/objects_to_move_accuracy"] = [
             1 if i in objects_moved else 0 for i in object_ids_to_move]
+        # per-stage wall-time observability (SURVEY.md §5.1 — absent in
+        # the reference)
+        results["timing"] = self.timer.summary()
 
         if cfg.logdir:
             M.write_task_metrics(cfg.logdir, task_id, results)

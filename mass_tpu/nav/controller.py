@@ -23,6 +23,7 @@ import numpy as np
 from mass_tpu.config import NavConfig
 from mass_tpu.env.protocol import Task
 from mass_tpu.nav import grid as NG
+from mass_tpu.utils.profiling import StageTimer
 
 CROUCH_HEIGHT_OFFSET = 0.675
 
@@ -37,12 +38,14 @@ class NavigationController:
 
     def __init__(self, task: Task, navigation_map: str,
                  maps: Dict[str, object], config: NavConfig = NavConfig(),
-                 rng: Optional[np.random.RandomState] = None):
+                 rng: Optional[np.random.RandomState] = None,
+                 timer: Optional[StageTimer] = None):
         self.task = task
         self.maps = maps
         self.navigation_map = navigation_map
         self.config = config
         self.rng = rng or np.random.RandomState(0)
+        self.timer = timer or StageTimer()
         self.nav_grid: Optional[NG.NavGrid] = None
         self.reset_navigation_grid()
 
@@ -78,12 +81,13 @@ class NavigationController:
             return
         names = [update_map] if isinstance(update_map, str) else \
             update_map
-        if hasattr(self.maps, "update_group"):
-            # all of this step's map updates in one device dispatch
-            self.maps.update_group(names, observations)
-        else:
-            for name in names:
-                self.maps[name].update_from_observation(observations)
+        with self.timer.stage("mapping"):
+            if hasattr(self.maps, "update_group"):
+                # all of this step's map updates in one device dispatch
+                self.maps.update_group(names, observations)
+            else:
+                for name in names:
+                    self.maps[name].update_from_observation(observations)
 
     # ------------------------------------------------------------ mesh
 
@@ -225,18 +229,21 @@ class NavigationController:
 
         goal = np.asarray(goal, np.float32)
         cfg = self.config
-        # one fused device dispatch: mesh refresh + seeded BFS + snaps
-        grid, dist, tgt, agent_cell, _ = NG.plan(
-            self.nav_grid, self._occupancy_vm(),
-            jnp.asarray(observations["position"], jnp.float32),
-            jnp.asarray(goal, jnp.float32),
-            step=cfg.step_size, padding=cfg.obstacle_padding,
-            z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
-            threshold=cfg.obstacle_threshold,
-            refresh=bool(update_navigation_grid))
-        self.nav_grid = grid
-        path = self._path_from_field(np.asarray(dist), np.asarray(tgt),
-                                     np.asarray(agent_cell))
+        with self.timer.stage("planning"):
+            # one fused device dispatch: mesh refresh + seeded BFS +
+            # snaps
+            grid, dist, tgt, agent_cell, _ = NG.plan(
+                self.nav_grid, self._occupancy_vm(),
+                jnp.asarray(observations["position"], jnp.float32),
+                jnp.asarray(goal, jnp.float32),
+                step=cfg.step_size, padding=cfg.obstacle_padding,
+                z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
+                threshold=cfg.obstacle_threshold,
+                refresh=bool(update_navigation_grid))
+            self.nav_grid = grid
+            path = self._path_from_field(
+                np.asarray(dist), np.asarray(tgt),
+                np.asarray(agent_cell))
         observations["path"] = path
 
         # arrived: standing (within a node's reach) on the closest
@@ -324,7 +331,8 @@ class NavigationController:
         """
         interval = self.config.graph_update_interval
         max_steps = max_steps or self.config.max_goal_steps
-        observations = self.task.get_observations()
+        with self.timer.stage("simulator"):
+            observations = self.task.get_observations()
         action = self.get_action(observations, goal,
                                  update_map=update_map,
                                  update_navigation_grid=True)
@@ -335,10 +343,12 @@ class NavigationController:
             if self.task.is_done() or action is None or \
                     (max_steps and time_step > max_steps):
                 return
-            result = self.task.step(action)
+            with self.timer.stage("simulator"):
+                result = self.task.step(action)
             if not result.action_success:
                 self.failed_action(observations, action)
-            observations = self.task.get_observations()
+            with self.timer.stage("simulator"):
+                observations = self.task.get_observations()
             action = self.get_action(
                 observations, goal, update_map=update_map,
                 update_navigation_grid=time_step % interval == 0)

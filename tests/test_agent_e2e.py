@@ -46,6 +46,9 @@ def test_agent_episode_with_gt_search(tmp_path):
     assert len(results) == 1
     m = results[0]
     assert m["unshuffle/num_initially_misplaced"] >= 1
+    # per-stage timing observability (SURVEY.md §5.1)
+    assert {"simulator", "mapping", "planning"} <= set(m["timing"])
+    assert m["timing"]["mapping"]["count"] > 0
     # outputs written
     assert (tmp_path / "results" / "0.json").exists()
     assert (tmp_path / "results" / "analytics-0.csv").exists()
