@@ -33,7 +33,9 @@ import numpy as np
 from mass_tpu import taxonomy
 from mass_tpu.config import MatchConfig
 from mass_tpu.core.voxelmap import VoxelMap
-from mass_tpu.match.find import find_all_classes, find_class_instances
+from mass_tpu.match.find import (find_all_classes,
+                                 find_all_classes_pair,
+                                 find_class_instances)
 from mass_tpu.ops.hungarian import linear_sum_assignment
 
 
@@ -46,8 +48,7 @@ def _detect_all(vm0: VoxelMap, vm1: VoxelMap, confidence_threshold,
               contour_padding=contour_padding,
               contour_threshold=contour_threshold,
               max_instances=max_instances)
-    f0 = find_all_classes(vm0, **kw)
-    f1 = find_all_classes(vm1, **kw)
+    f0, f1 = find_all_classes_pair(vm0, vm1, **kw)
     return (jnp.any(f0.present, -1) & jnp.any(f1.present, -1),
             f0, f1)
 

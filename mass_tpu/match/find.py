@@ -50,20 +50,21 @@ def _axis_world_coords(vm: VoxelMap):
     return wx, wy, wz
 
 
-def _instances_from_volume(vm: VoxelMap, volume: jax.Array,
+def _instances_from_volume(coords, volume: jax.Array,
                            feature_volume: Optional[jax.Array],
                            confidence_threshold: float,
                            contour_padding: int,
                            contour_threshold: float,
                            max_instances: int) -> FoundInstances:
-    """Shared core: ``volume`` is the [H, W, D] class-probability mass."""
+    """Shared core: ``volume`` is the [H, W, D] class-probability mass,
+    ``coords`` the per-axis voxel-centre world coordinates."""
     smooth = avg_pool3d_same(volume, contour_padding)
     footprint = jnp.any(smooth > contour_threshold, axis=-1)
     inst = extract_instances(footprint, max_instances)
 
     a = jnp.sum(volume, axis=-1)                 # [H, W]  sum_z m
     b = jnp.sum(volume * volume, axis=-1)        # [H, W]  sum_z m^2
-    wx, wy, wz = _axis_world_coords(vm)
+    wx, wy, wz = coords
     c = jnp.einsum("hwd,d->hw", volume, wz)      # sum_z m*wz
 
     roi = inst.roi.astype(volume.dtype)          # [K, H, W]
@@ -107,8 +108,16 @@ def find_class_instances(vm: VoxelMap, semantic_category,
             vm.grid(), semantic_category, axis=-1, keepdims=False)
     fvol = feature_map.grid() if feature_map is not None else None
     return _instances_from_volume(
-        vm, volume, fvol, confidence_threshold, contour_padding,
-        contour_threshold, max_instances)
+        _axis_world_coords(vm), volume, fvol, confidence_threshold,
+        contour_padding, contour_threshold, max_instances)
+
+
+def _class_volumes(vm: VoxelMap) -> jax.Array:
+    g = vm.geometry
+    if vm.layout == "cmajor":
+        return vm.data[:g.feature_size].reshape(
+            g.feature_size, g.map_height, g.map_width, g.map_depth)
+    return vm.grid().transpose(3, 0, 1, 2)
 
 
 def find_all_classes(vm: VoxelMap, confidence_threshold: float = 0.2,
@@ -118,16 +127,22 @@ def find_all_classes(vm: VoxelMap, confidence_threshold: float = 0.2,
     """Localize instances of EVERY class in one dispatch (no feature
     pooling — feature vectors are computed per candidate class by
     ``find_class_instances`` once candidates are narrowed)."""
-    g = vm.geometry
-    if vm.layout == "cmajor":
-        volumes = vm.data[:g.feature_size].reshape(
-            g.feature_size, g.map_height, g.map_width, g.map_depth)
-    else:
-        volumes = vm.grid().transpose(3, 0, 1, 2)
+    coords = _axis_world_coords(vm)
 
     def per_class(volume):
         return _instances_from_volume(
-            vm, volume, None, confidence_threshold, contour_padding,
+            coords, volume, None, confidence_threshold, contour_padding,
             contour_threshold, max_instances)
 
-    return jax.lax.map(per_class, volumes)
+    # vmap (not lax.map): one vectorized labelling/sort/stat program
+    # over the class axis instead of 54 sequential passes; the
+    # while_loop batching rule runs until every class converges
+    return jax.vmap(per_class)(_class_volumes(vm))
+
+
+def find_all_classes_pair(vm0: VoxelMap, vm1: VoxelMap, **kw):
+    """All-classes sweep over both phase maps.  Sequential per map:
+    stacking the two maps' [C, H, W, D] class volumes OOMs HBM at the
+    full 384x384x96x54 geometry (20 GB > 15.75 GB on v5e), and each
+    per-map sweep is already class-vectorized."""
+    return find_all_classes(vm0, **kw), find_all_classes(vm1, **kw)

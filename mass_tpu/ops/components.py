@@ -49,7 +49,9 @@ def label_components(mask: jax.Array) -> jax.Array:
 
     def body(state):
         labels, _ = state
-        new = propagate(labels)
+        # several propagation hops per convergence check: the check is
+        # a full-array reduction, the hop a cheap separable max filter
+        new = propagate(propagate(propagate(propagate(labels))))
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(
@@ -77,33 +79,26 @@ def extract_instances(mask: jax.Array, max_instances: int) -> Instances:
     h, w = mask.shape
     labels = label_components(mask)
 
-    # pick the K largest distinct labels by pixel count, via iterative
-    # "find the most frequent remaining label"
+    # the K most-populous distinct labels from ONE sort: run lengths of
+    # the sorted labels are (next run start - run start), computed with
+    # scans only — no scatter/segment_sum/gather, which serialize on TPU
+    # (docs/performance.md)
     flat = labels.reshape(-1)
-
-    def top_label(remaining):
-        # histogram over present labels without a dense [H*W] hist:
-        # count occurrences of each pixel's label among remaining pixels
-        # by sorting
-        lab_sorted = jnp.sort(jnp.where(remaining, flat, 0))
-        head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                                lab_sorted[1:] != lab_sorted[:-1]])
-        seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-        counts = jax.ops.segment_sum(
-            jnp.where(lab_sorted > 0, 1, 0), seg,
-            num_segments=flat.shape[0])
-        counts_per_pix = counts[seg]
-        best = jnp.argmax(jnp.where(lab_sorted > 0, counts_per_pix, -1))
-        return lab_sorted[best], counts_per_pix[best]
-
-    def scan_body(remaining, _):
-        lab, count = top_label(remaining)
-        sel = (flat == lab) & remaining & (lab > 0)
-        return remaining & ~sel, (lab, count > 0)
-
-    remaining0 = flat > 0
-    _, (labs, present) = jax.lax.scan(
-        scan_body, remaining0, None, length=max_instances)
+    n = flat.shape[0]
+    lab_sorted = jnp.sort(flat)
+    head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                            lab_sorted[1:] != lab_sorted[:-1]])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts = jnp.where(head, idx, n)
+    # suffix-min gives the NEXT run's start for every position
+    suffix = jax.lax.cummin(starts, reverse=True)
+    next_start = jnp.concatenate(
+        [suffix[1:], jnp.asarray([n], jnp.int32)])
+    run_len = next_start - idx
+    score = jnp.where(head & (lab_sorted > 0), run_len, -1)
+    top_counts, top_idx = jax.lax.top_k(score, max_instances)
+    present = top_counts > 0
+    labs = jnp.where(present, lab_sorted[top_idx], 0)
 
     masks = (labels[None] == labs[:, None, None]) & (labs[:, None, None]
                                                      > 0)

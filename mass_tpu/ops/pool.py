@@ -14,18 +14,29 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _axis_window(x: jax.Array, axis: int, k: int, init, op):
+    """1D stride-1 same-padded reduce_window along one axis."""
+    dims = [1] * x.ndim
+    dims[axis] = k
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = ((k - 1) // 2, (k - 1) // 2)
+    return lax.reduce_window(x, init, op, tuple(dims),
+                             (1,) * x.ndim, tuple(pad))
+
+
 def avg_pool3d_same(x: jax.Array, radius: int) -> jax.Array:
     """Box-average a ``[H, W, D]`` (or ``[..., H, W, D]``) volume with a
     cubic kernel of size ``2 * radius + 1``, dividing by the full kernel
-    volume even at borders (torch ``count_include_pad=True``)."""
+    volume even at borders (torch ``count_include_pad=True``).
+
+    Separable: three 1D passes (zero padding makes the sums exact), a
+    ``(2r+1)^3 / (3(2r+1))``-fold op reduction over the cubic window."""
     if radius == 0:
         return x
     k = 2 * radius + 1
-    dims = (1,) * (x.ndim - 3) + (k, k, k)
-    ones = (1,) * x.ndim
-    pad = ((0, 0),) * (x.ndim - 3) + ((radius, radius),) * 3
-    summed = lax.reduce_window(x, 0.0, lax.add, dims, ones, pad)
-    return summed / float(k ** 3)
+    for axis in (-3, -2, -1):
+        x = _axis_window(x, x.ndim + axis, k, 0.0, lax.add)
+    return x / float(k ** 3)
 
 
 def max_pool2d_same(x: jax.Array, radius: int) -> jax.Array:
@@ -34,13 +45,13 @@ def max_pool2d_same(x: jax.Array, radius: int) -> jax.Array:
     if radius == 0:
         return x
     k = 2 * radius + 1
-    dims = (1,) * (x.ndim - 2) + (k, k)
-    ones = (1,) * x.ndim
-    pad = ((0, 0),) * (x.ndim - 2) + ((radius, radius),) * 2
     if jnp.issubdtype(x.dtype, jnp.floating):
         init = -jnp.inf
     elif x.dtype == jnp.bool_:
         init = False
     else:
         init = jnp.iinfo(x.dtype).min
-    return lax.reduce_window(x, init, lax.max, dims, ones, pad)
+    # max over a box window is separable too
+    for axis in (-2, -1):
+        x = _axis_window(x, x.ndim + axis, k, init, lax.max)
+    return x
