@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--semantic-search-unshuffle", action="store_true")
     p.add_argument("--use-feature-matching", action="store_true")
     p.add_argument("--record-found-objects", action="store_true")
+    p.add_argument("--one-phase", action="store_true",
+                   help="single-task episodes with dual live/goal "
+                        "observations (reference: "
+                        "OnePhaseSegmentationConfig)")
 
     p.add_argument("--exploration-budget-one", type=int, default=5)
     p.add_argument("--exploration-budget-two", type=int, default=5)
@@ -122,6 +126,7 @@ def config_from_args(args) -> AgentConfig:
         semantic_search_unshuffle=args.semantic_search_unshuffle,
         use_feature_matching=args.use_feature_matching,
         record_found_objects=args.record_found_objects,
+        one_phase=args.one_phase,
         logdir=args.logdir, stage=args.stage,
         start_task=args.start_task, every_tasks=args.every_tasks,
         total_tasks=args.total_tasks)
@@ -176,13 +181,15 @@ def make_sampler(args, config: AgentConfig):
             stage=args.stage,
             ground_truth=True,  # learned segmentation wraps below
             detection_threshold=args.detection_threshold,
-            screen_size=args.camera_size)
+            screen_size=args.camera_size,
+            one_phase=args.one_phase)
     else:
         from mass_tpu.env.rearrange import GridWorldTaskSampler
         seeds = range(args.start_task,
                       args.start_task +
                       args.total_tasks * args.every_tasks + 1)
-        sampler = GridWorldTaskSampler(list(seeds), camera=config.camera)
+        sampler = GridWorldTaskSampler(list(seeds), camera=config.camera,
+                                       one_phase=args.one_phase)
     sensor = load_segmentation_sensor(args)
     if sensor is not None:
         from mass_tpu.perception.segmentation import SegmentationSampler

@@ -36,6 +36,28 @@ from mass_tpu.utils.profiling import StageTimer
 
 PHASE_ONE_MAPS = ["occupancy", "semantic0", "feature0"]
 PHASE_TWO_MAPS = ["semantic1", "feature1"]
+# in one-phase mode these maps consume the goal world's render
+GOAL_FED_MAPS = frozenset({"semantic0", "feature0"})
+
+
+class OnePhaseMapSet(MapSet):
+    """MapSet whose goal-state maps read the goal render carried in each
+    one-phase observation (``goal_depth`` / ``goal_semantic`` /
+    ``goal_rgb`` — reference: the dual walkthrough/unshuffle semantic
+    sensors of OnePhaseSegmentationConfig,
+    segmentation_config.py:545-561)."""
+
+    def update_group(self, names, observation) -> None:
+        live = [n for n in names if n not in GOAL_FED_MAPS]
+        goal = [n for n in names if n in GOAL_FED_MAPS]
+        super().update_group(live, observation)
+        if goal and "goal_depth" in observation:
+            remap = dict(observation)
+            remap["depth"] = observation["goal_depth"]
+            remap["semantic"] = observation["goal_semantic"]
+            if "goal_rgb" in observation:
+                remap["rgb"] = observation["goal_rgb"]
+            super().update_group(goal, remap)
 
 
 class RearrangementAgent:
@@ -69,15 +91,18 @@ class RearrangementAgent:
                       map_width=config.map_width,
                       map_depth=config.map_depth,
                       grid_resolution=config.grid_resolution)
-        self.maps = MapSet(
+        map_set_cls = OnePhaseMapSet if config.one_phase else MapSet
+        self.maps = map_set_cls(
             semantic0=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw),
             semantic1=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw))
         if config.navigate_on_semantic:
             # occupancy == semantic0's channel sum when updated in
             # lockstep (phase one updates both from every frame), so
             # navigation reads semantic0 and the occupancy layer is
-            # dropped from the hot loop
-            self.navigation_map = "semantic0"
+            # dropped from the hot loop.  One-phase agents navigate the
+            # LIVE world, whose state is semantic1.
+            self.navigation_map = ("semantic1" if config.one_phase
+                                   else "semantic0")
         else:
             self.maps["occupancy"] = OccupancyMap(cam, **geo_kw)
             self.navigation_map = "occupancy"
@@ -214,6 +239,8 @@ class RearrangementAgent:
     # ----------------------------------------------------------- tasks
 
     def run_task(self, task_id: int) -> Dict:
+        if self.config.one_phase:
+            return self._run_task_one_phase(task_id)
         cfg = self.config
         self.timer = StageTimer()       # fresh per-task stage timing
         walkthrough = self.sampler.next_task()
@@ -310,6 +337,85 @@ class RearrangementAgent:
                 M.write_found_objects(cfg.logdir, task_id, "unshuffle",
                                       unshuffle_track or [],
                                       object_positions)
+        return results
+
+    def _run_task_one_phase(self, task_id: int) -> Dict:
+        """Single-task episode: both maps build from each step's dual
+        (live + goal) render, then rearrangement runs as usual
+        (reference capability: OnePhaseSegmentationConfig,
+        mass/thor/segmentation_config.py:484-598 — the reference ships
+        the config but no agent for it; this is the missing driver)."""
+        cfg = self.config
+        self.timer = StageTimer()
+        task = self.sampler.next_task()
+
+        loc = task.agent_location()
+        self.maps.reset_all((loc.x, loc.z, loc.y))
+        controller = NavigationController(
+            task, self.navigation_map, self.maps, cfg.nav,
+            rng=self.rng, timer=self.timer)
+
+        writer = (self.video_writer_factory(task_id)
+                  if self.video_writer_factory else None)
+        callback = self._make_callback(controller, writer) \
+            if writer else None
+
+        task.step(task.action_names().index("look_down"))
+
+        analytics = self._initial_analytics(task)
+        gt_goals: List[np.ndarray] = []
+        if cfg.ground_truth_semantic_search:
+            for cur, target in oracle.scene_difference_positions(task):
+                gt_goals.extend([cur, target])
+
+        object_ids_to_move = {
+            taxonomy.CLASS_NAMES.index(n)
+            for n in oracle.scene_difference_types(task)}
+        print(f"[Task={task_id}] Ground truth: " + ", ".join(
+            taxonomy.CLASS_NAMES[i] for i in object_ids_to_move))
+
+        track: Optional[List] = ([] if cfg.record_found_objects
+                                 else None)
+        object_positions = np.asarray(
+            [p[0][:2] for p in oracle.scene_difference_positions(task)]
+        ) if cfg.record_found_objects else np.zeros((0, 2))
+
+        # one exploration pass builds BOTH maps (goal maps read the
+        # goal render carried in each observation)
+        update_maps = self.phase_one + self.phase_two
+        self._explore(controller,
+                      cfg.exploration_budget_one +
+                      cfg.exploration_budget_two,
+                      "semantic1", update_maps, gt_goals,
+                      cfg.semantic_search_unshuffle, callback, track)
+
+        objects_moved: set = set()
+        self._rearrange(controller, object_ids_to_move, objects_moved,
+                        callback, track)
+
+        if not task.is_done():
+            task.step(task.action_names().index("done"))
+        if writer is not None:
+            writer.close()
+
+        self._final_analytics(task, analytics)
+        results = task.metrics()
+        results["unshuffle/objects_moved"] = [
+            taxonomy.CLASS_NAMES[i] for i in objects_moved]
+        results["unshuffle/objects_moved_accuracy"] = [
+            1 if i in object_ids_to_move else 0 for i in objects_moved]
+        results["unshuffle/objects_to_move"] = [
+            taxonomy.CLASS_NAMES[i] for i in object_ids_to_move]
+        results["unshuffle/objects_to_move_accuracy"] = [
+            1 if i in objects_moved else 0 for i in object_ids_to_move]
+        results["timing"] = self.timer.summary()
+
+        if cfg.logdir:
+            M.write_task_metrics(cfg.logdir, task_id, results)
+            M.write_analytics(cfg.logdir, task_id, analytics)
+            if cfg.record_found_objects:
+                M.write_found_objects(cfg.logdir, task_id, "unshuffle",
+                                      track or [], object_positions)
         return results
 
     def run(self) -> List[Dict]:

@@ -128,6 +128,11 @@ class AgentConfig:
     semantic_search_unshuffle: bool = False
     use_feature_matching: bool = False
     record_found_objects: bool = False
+    # one-phase rearrangement: no walkthrough task; each observation
+    # carries the goal world's render from the same pose and both maps
+    # build simultaneously (reference:
+    # mass/thor/segmentation_config.py:484-598)
+    one_phase: bool = False
     # navigate on the walkthrough semantic map instead of a dedicated
     # occupancy map: they are identical when updated in lockstep (an
     # occupancy update equals the semantic map's channel sum — see

@@ -19,6 +19,7 @@ def build_task_sampler(stage: str = "train", process_ind: int = 0,
                        ground_truth: bool = True,
                        detection_threshold: float = 0.9,
                        screen_size: int = 224,
+                       one_phase: bool = False,
                        **extra: Any):
     from ai2thor.platform import CloudRendering
     from baseline_configs.rearrange_base import (
@@ -48,7 +49,9 @@ def build_task_sampler(stage: str = "train", process_ind: int = 0,
     }
 
     return RearrangeTaskSampler.from_fixed_dataset(
-        run_walkthrough_phase=True,
+        # one-phase = unshuffle-only tasks (reference:
+        # OnePhaseSegmentationConfig, segmentation_config.py:484-598)
+        run_walkthrough_phase=not one_phase,
         run_unshuffle_phase=True,
         stage=stage,
         scenes_to_allowed_rearrange_inds=stage_seeds.get(

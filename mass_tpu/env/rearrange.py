@@ -159,7 +159,8 @@ class Phase:
             ep.camera, ep.pose)
         obs = dict(rgb=rgb, depth=depth, semantic=semantic)
         if self.one_phase:
-            _, gd, gs = ep.goal_world.render(ep.camera, ep.pose)
+            gr, gd, gs = ep.goal_world.render(ep.camera, ep.pose)
+            obs["goal_rgb"] = gr
             obs["goal_depth"] = gd
             obs["goal_semantic"] = gs
         return obs
