@@ -146,26 +146,25 @@ class VoxelMap:
                           max_ray_depth=max_ray_depth,
                           resolution=self.geometry.grid_resolution)
 
-    def update_classes(self, rays: jax.Array, position: jax.Array,
-                       yaw: jax.Array, elevation: jax.Array,
-                       depth: jax.Array, classes: jax.Array,
-                       min_ray_depth: float = 0.0,
-                       max_ray_depth: float = 10.0,
-                       use_kernel: bool = None) -> "VoxelMap":
-        """One-hot fast path: project an ``[h, w]`` integer class image
-        (implicit ``one_hot(classes, F)`` features).  The per-step hot
-        update for occupancy (classes == 0, F == 1) and semantic maps
-        (reference: mass/nn/applications/semantic_projection_layer.py:
-        203-214 materializes the one-hot; here it stays implicit so the
-        additive scatter is scalar)."""
-        assert self.layout == "cmajor", "class updates need cmajor maps"
+    def contributions(self, rays, position, yaw, elevation, depth,
+                      min_ray_depth: float = 0.0,
+                      max_ray_depth: float = 10.0):
+        """Orient + bin + trilinear corner decomposition for one frame:
+        the per-pixel geometry shared by every map of the same camera
+        and grid (returns ``(ids, weights)``).  Maps updated in lockstep
+        reuse one computation (the reference re-derives it per layer,
+        mass/nn/base_projection_layer.py:282-343)."""
         g = self.geometry
-        h, w = rays.shape[0], rays.shape[1]
-        classes = G.upsample_features(classes[..., None], h, w)[..., 0]
         points = self._bin(rays, position, yaw, elevation, depth,
                            min_ray_depth, max_ray_depth)
-        ids, weights = S.corner_contributions(
+        return S.corner_contributions(
             points, (g.map_height, g.map_width, g.map_depth))
+
+    def apply_onehot(self, ids, weights, classes,
+                     use_kernel: bool = None) -> "VoxelMap":
+        """EMA-blend one frame's one-hot contributions into the map."""
+        assert self.layout == "cmajor", "class updates need cmajor maps"
+        g = self.geometry
         on_tpu = jax.default_backend() == "tpu"
         if use_kernel is None:
             use_kernel = on_tpu and g.num_voxels % PS.SPAN == 0
@@ -178,6 +177,25 @@ class VoxelMap:
                 self.data, ids, weights, classes.reshape(-1),
                 g.interpolation_weight)
         return dataclasses.replace(self, data=data)
+
+    def update_classes(self, rays: jax.Array, position: jax.Array,
+                       yaw: jax.Array, elevation: jax.Array,
+                       depth: jax.Array, classes: jax.Array,
+                       min_ray_depth: float = 0.0,
+                       max_ray_depth: float = 10.0,
+                       use_kernel: bool = None) -> "VoxelMap":
+        """One-hot fast path: project an ``[h, w]`` integer class image
+        (implicit ``one_hot(classes, F)`` features).  The per-step hot
+        update for occupancy (classes == 0, F == 1) and semantic maps
+        (reference: mass/nn/applications/semantic_projection_layer.py:
+        203-214 materializes the one-hot; here it stays implicit so the
+        additive scatter is scalar)."""
+        h, w = rays.shape[0], rays.shape[1]
+        classes = G.upsample_features(classes[..., None], h, w)[..., 0]
+        ids, weights = self.contributions(rays, position, yaw,
+                                          elevation, depth,
+                                          min_ray_depth, max_ray_depth)
+        return self.apply_onehot(ids, weights, classes, use_kernel)
 
     def update(self, rays: jax.Array, position: jax.Array, yaw: jax.Array,
                elevation: jax.Array, depth: jax.Array,

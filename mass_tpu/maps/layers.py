@@ -43,6 +43,10 @@ def _pose_args(observation: Dict):
 class _BaseMap:
     """Shared state handling: construction, reset, delegation."""
 
+    # layers whose update is (shared binning) + (one-hot splat); map
+    # groups reuse one orient/bin/corner pass per camera+grid signature
+    shared_onehot = False
+
     def __init__(self, camera: CameraConfig, geometry: MapGeometry,
                  origin=(0.0, 0.0, 0.0)):
         self.camera = camera
@@ -71,6 +75,8 @@ class OccupancyMap(_BaseMap):
     """Single-channel density map: every valid depth pixel deposits
     occupancy mass (class 0)."""
 
+    shared_onehot = True
+
     def __init__(self, camera: CameraConfig, config_geometry: MapGeometry
                  = None, origin=(0.0, 0.0, 0.0), **geo_kwargs):
         geometry = config_geometry or MapGeometry(
@@ -87,6 +93,9 @@ class OccupancyMap(_BaseMap):
         self._update = jax.jit(
             lambda vm, p, y, e, d: update_fn(vm, p, y, e, d, None))
 
+    def classes_for(self, aux, depth):
+        return jnp.zeros(depth.shape[:2], jnp.int32)
+
     def aux_from_observation(self, observation: Dict):
         return None
 
@@ -97,6 +106,8 @@ class OccupancyMap(_BaseMap):
 
 class SemanticMap(_BaseMap):
     """Per-voxel class-probability map fed by segmentation images."""
+
+    shared_onehot = True
 
     def __init__(self, camera: CameraConfig, num_classes: int = 54,
                  config_geometry: MapGeometry = None,
@@ -112,6 +123,11 @@ class SemanticMap(_BaseMap):
 
         self.update_fn = update_fn
         self._update = jax.jit(update_fn)
+
+    def classes_for(self, aux, depth):
+        from mass_tpu.core import geometry as _G
+        h, w = self.rays.shape[0], self.rays.shape[1]
+        return _G.upsample_features(aux[..., None], h, w)[..., 0]
 
     def aux_from_observation(self, observation: Dict):
         semantic = np.asarray(observation["semantic"])
@@ -224,10 +240,27 @@ class MapSet(dict):
 
             @jax.jit
             def fn(vms, position, yaw, elevation, depth, auxes):
-                return tuple(
-                    layer.update_fn(vm, position, yaw, elevation,
-                                    depth, aux)
-                    for layer, vm, aux in zip(layers, vms, auxes))
+                # one orient/bin/corner pass per camera+grid signature,
+                # shared by every one-hot map in the group (maps reset
+                # together share bins — see MapSet.reset_all)
+                shared = {}
+                out = []
+                for layer, vm, aux in zip(layers, vms, auxes):
+                    if not layer.shared_onehot:
+                        out.append(layer.update_fn(
+                            vm, position, yaw, elevation, depth, aux))
+                        continue
+                    g = vm.geometry
+                    sig = (layer.rays.shape, g.map_height, g.map_width,
+                           g.map_depth, g.grid_resolution)
+                    if sig not in shared:
+                        shared[sig] = vm.contributions(
+                            layer.rays, position, yaw, elevation,
+                            depth)
+                    ids, weights = shared[sig]
+                    out.append(vm.apply_onehot(
+                        ids, weights, layer.classes_for(aux, depth)))
+                return tuple(out)
 
             self._group_fns[key] = fn
         layers = [self[n] for n in names]
