@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="single-task episodes with dual live/goal "
                         "observations (reference: "
                         "OnePhaseSegmentationConfig)")
+    p.add_argument("--reference-compat", action="store_true",
+                   help="pin every behavioral generalization to the "
+                        "reference's exact rules: separate occupancy "
+                        "map, path-length-1 arrival, next-node "
+                        "steering, no per-goal step cap")
 
     p.add_argument("--exploration-budget-one", type=int, default=5)
     p.add_argument("--exploration-budget-two", type=int, default=5)
@@ -96,7 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> AgentConfig:
+    if args.reference_compat:
+        args.max_goal_steps = 0
     return AgentConfig(
+        navigate_on_semantic=not args.reference_compat,
         camera=CameraConfig(height=args.camera_size,
                             width=args.camera_size,
                             vertical_fov_degrees=args.vertical_fov),
@@ -109,7 +117,8 @@ def config_from_args(args) -> AgentConfig:
                       map_slice_stop=args.map_slice_stop,
                       position_noise_std=args.position_noise_std,
                       rotation_noise_std=args.rotation_noise_std,
-                      max_goal_steps=args.max_goal_steps),
+                      max_goal_steps=args.max_goal_steps,
+                      reference_compat=args.reference_compat),
         match=MatchConfig(
             confidence_threshold=args.confidence_threshold,
             contour_padding=args.contour_padding,

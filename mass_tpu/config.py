@@ -90,6 +90,11 @@ class NavConfig:
     # cap on steps spent pursuing a single navigation goal (0 = only the
     # phase budget limits it, as in the reference)
     max_goal_steps: int = 80
+    # pin the local controller to the reference's exact rules: terminate
+    # on path length 1 and steer at the next path node (reference:
+    # mass/navigation_policy.py:586-605) instead of the arrival radius +
+    # pure-pursuit waypoint generalization (see nav/controller.py)
+    reference_compat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -246,6 +246,20 @@ class NavigationController:
                 np.asarray(agent_cell))
         observations["path"] = path
 
+        if cfg.reference_compat:
+            # reference termination: the planned path has collapsed to
+            # the source node (mass/navigation_policy.py:594-605)
+            if path.shape[0] <= 1:
+                observations["heading"] = 0.0
+                return None
+            heading = self.get_heading(observations, path[1])
+            observations["heading"] = heading
+            names = self.task.action_names()
+            if abs(heading) <= np.pi / 4:
+                return names.index("move_ahead")
+            return names.index("rotate_left" if heading > 0
+                               else "rotate_right")
+
         # arrived: standing (within a node's reach) on the closest
         # reachable node to the goal.  The reference terminates on path
         # length 1, which requires the agent to land exactly on the node
