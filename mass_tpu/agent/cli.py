@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--policy-checkpoint", type=str, default=None,
                    help="torch policy.pth or orbax dir for the "
                         "semantic-search policy")
+    p.add_argument("--backbone-checkpoint", type=str, default=None,
+                   help="orbax dir with ResNet stage-1 weights for "
+                        "--use-feature-matching (export once with "
+                        "perception.resnet.save_backbone_checkpoint "
+                        "on a torchvision host)")
     p.add_argument("--videos", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -258,8 +263,24 @@ def main(argv=None):
 
     backbone = None
     if args.use_feature_matching:
-        from mass_tpu.perception.resnet import load_pretrained_backbone
-        backbone, _ = load_pretrained_backbone()
+        if args.backbone_checkpoint:
+            from mass_tpu.perception.resnet import \
+                load_backbone_checkpoint
+            backbone, _ = load_backbone_checkpoint(
+                args.backbone_checkpoint)
+        else:
+            try:
+                from mass_tpu.perception.resnet import \
+                    load_pretrained_backbone
+                backbone, _ = load_pretrained_backbone()
+            except ImportError:
+                raise SystemExit(
+                    "--use-feature-matching needs ResNet stage-1 "
+                    "weights: torchvision is unavailable on this host, "
+                    "so pass --backbone-checkpoint <orbax dir> "
+                    "(export once via "
+                    "perception.resnet.save_backbone_checkpoint on a "
+                    "torchvision host)")
 
     def run():
         sampler = make_sampler(args, config)

@@ -117,8 +117,16 @@ def predict_scene_differences(
               contour_padding=config.contour_padding,
               contour_threshold=config.contour_threshold,
               max_instances=config.max_instances)
-    both, _, _ = _detect_all(semantic_map0, semantic_map1, **kw)
+    both, f0, f1 = _detect_all(semantic_map0, semantic_map1, **kw)
     both = np.asarray(both)
+    truncated = np.asarray(f0.truncated) | np.asarray(f1.truncated)
+    if truncated.any():
+        # the reference's cv2-contours path has no instance cap; make
+        # the capped classes visible instead of silently dropping blobs
+        names = [taxonomy.CLASS_NAMES[i]
+                 for i in np.nonzero(truncated)[0]]
+        print(f"[match] max_instances={config.max_instances} cap bound "
+              f"for: {', '.join(names)}")
 
     use_features = feature_map0 is not None and feature_map1 is not None
     for cls in candidate_classes:

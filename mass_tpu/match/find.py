@@ -40,6 +40,7 @@ class FoundInstances(NamedTuple):
     position: jax.Array    # [..., K, 3] world xyz
     size: jax.Array        # [..., K] voxel mass
     features: Optional[jax.Array] = None  # [..., K, F2]
+    truncated: Optional[jax.Array] = None  # [...] K-cap bound (scalar)
 
 
 def _axis_world_coords(vm: VoxelMap):
@@ -85,7 +86,7 @@ def _instances_from_volume(coords, volume: jax.Array,
         features = jnp.einsum("khw,hwf->kf", roi, e) / denom[:, None]
     return FoundInstances(present=present, confidence=confidence,
                           position=position, size=m_sum,
-                          features=features)
+                          features=features, truncated=inst.truncated)
 
 
 def find_class_instances(vm: VoxelMap, semantic_category,

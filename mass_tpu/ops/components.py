@@ -64,13 +64,17 @@ class Instances(NamedTuple):
 
     ``present [K]`` marks real instances; ``boxes [K, 4]`` are
     (x, y, w, h) like cv2.boundingRect; ``masks [K, H, W]`` are the
-    component masks; ``roi [K, H, W]`` the filled bounding rectangles.
+    component masks; ``roi [K, H, W]`` the filled bounding rectangles;
+    ``truncated`` (scalar bool) flags that more than ``K`` components
+    existed — the reference's cv2-contours path has no cap, so silent
+    truncation would be a behavioral divergence worth surfacing.
     """
 
     present: jax.Array
     boxes: jax.Array
     masks: jax.Array
     roi: jax.Array
+    truncated: jax.Array
 
 
 def extract_instances(mask: jax.Array, max_instances: int) -> Instances:
@@ -99,6 +103,7 @@ def extract_instances(mask: jax.Array, max_instances: int) -> Instances:
     top_counts, top_idx = jax.lax.top_k(score, max_instances)
     present = top_counts > 0
     labs = jnp.where(present, lab_sorted[top_idx], 0)
+    truncated = jnp.sum(head & (lab_sorted > 0)) > max_instances
 
     masks = (labels[None] == labs[:, None, None]) & (labs[:, None, None]
                                                      > 0)
@@ -117,4 +122,5 @@ def extract_instances(mask: jax.Array, max_instances: int) -> Instances:
            (xs[None] <= x1[:, None, None]) &
            (ys[None] >= y0[:, None, None]) &
            (ys[None] <= y1[:, None, None]) & present[:, None, None])
-    return Instances(present=present, boxes=boxes, masks=masks, roi=roi)
+    return Instances(present=present, boxes=boxes, masks=masks, roi=roi,
+                     truncated=truncated)

@@ -139,3 +139,29 @@ def load_pretrained_backbone():
     net = resnet50(weights="IMAGENET1K_V1")
     variables = params_from_torchvision(net.state_dict())
     return make_backbone(variables), variables
+
+
+def init_backbone(rng=None):
+    """Randomly-initialized stage-1 backbone variables (for smoke runs
+    and as the ``like`` tree when restoring a checkpoint)."""
+    import jax as _jax
+    model = ResNet50Stage1()
+    return model.init(rng if rng is not None else
+                      _jax.random.PRNGKey(0),
+                      jnp.zeros((1, 32, 32, 3)))
+
+
+def save_backbone_checkpoint(path: str):
+    """One-time export: torchvision weights -> orbax, so hosts without
+    torchvision (like TPU images) can run --use-feature-matching from
+    ``--backbone-checkpoint``."""
+    from mass_tpu.utils.checkpoint import save_pytree
+    _, variables = load_pretrained_backbone()
+    return save_pytree(path, variables)
+
+
+def load_backbone_checkpoint(path: str):
+    """Stage-1 backbone from an orbax checkpoint (no torchvision)."""
+    from mass_tpu.utils.checkpoint import load_pytree
+    variables = load_pytree(path, init_backbone())
+    return make_backbone(variables), variables

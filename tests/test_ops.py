@@ -78,6 +78,15 @@ def test_extract_instances_boxes_and_order():
 def test_extract_instances_empty():
     inst = extract_instances(jnp.zeros((8, 8), bool), 3)
     assert not np.asarray(inst.present).any()
+    assert not bool(inst.truncated)
+
+
+def test_extract_instances_truncation_flag():
+    m = _blob_mask()                      # 3 components
+    assert not bool(extract_instances(jnp.asarray(m), 3).truncated)
+    capped = extract_instances(jnp.asarray(m), 2)
+    assert bool(capped.truncated)
+    assert np.asarray(capped.present).sum() == 2
 
 
 # ------------------------------------------------------------ hungarian
