@@ -87,6 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contour-threshold", type=float, default=0.0)
     p.add_argument("--confidence-threshold", type=float, default=0.0)
     p.add_argument("--distance-threshold", type=float, default=0.05)
+    # parsed-but-unused, faithfully: the reference also never reads it
+    # (mass/utils/experimentation.py:296-305 thresholds on distance)
     p.add_argument("--deformation-threshold", type=float, default=0.0)
 
     p.add_argument("--position-noise-std", type=float, default=0.0)
