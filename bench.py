@@ -22,6 +22,10 @@ import numpy as np
 CAMERA = 224
 MAP_H, MAP_W, MAP_D, NUM_CLASSES = 384, 384, 96, 54
 FRAMES = int(os.environ.get("BENCH_FRAMES", "128"))
+# frames folded per kernel launch (span HBM traffic amortizes across
+# the batch — ops/pallas_splat.splat_onehot_frames_cmajor); sequential
+# EMA semantics are preserved exactly
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "6"))
 
 
@@ -38,15 +42,18 @@ def measure_tpu():
     rays = G.camera_rays(cam.height, cam.width,
                         cam.focal_length, cam.focal_length)
 
-    # one dispatch scans a whole frame chunk: the agent's sequential EMA
-    # semantics (scan carry) without per-frame host round-trips
+    # one dispatch scans the whole frame stream in BATCH-frame groups:
+    # sequential EMA semantics (scan carry + in-kernel frame order)
+    # without per-frame host round-trips or per-frame span DMAs
     @functools.partial(jax.jit, donate_argnums=0)
     def run_chunk(vm, positions, yaws, elevations, depths, semantics):
-        def body(m, frame):
-            p, y, e, d, s = frame
-            return m.update_classes(rays, p, y, e, d, s), None
-        vm, _ = jax.lax.scan(
-            body, vm, (positions, yaws, elevations, depths, semantics))
+        def body(m, group):
+            p, y, e, d, s = group
+            return m.update_classes_frames(rays, p, y, e, d, s), None
+        groups = tuple(
+            x.reshape((-1, BATCH) + x.shape[1:])
+            for x in (positions, yaws, elevations, depths, semantics))
+        vm, _ = jax.lax.scan(body, vm, groups)
         return vm
 
     rng = np.random.RandomState(0)

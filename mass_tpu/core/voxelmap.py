@@ -197,6 +197,52 @@ class VoxelMap:
                                           min_ray_depth, max_ray_depth)
         return self.apply_onehot(ids, weights, classes, use_kernel)
 
+    def update_classes_frames(self, rays: jax.Array, positions: jax.Array,
+                              yaws: jax.Array, elevations: jax.Array,
+                              depths: jax.Array, classes: jax.Array,
+                              min_ray_depth: float = 0.0,
+                              max_ray_depth: float = 10.0,
+                              use_kernel: bool = None) -> "VoxelMap":
+        """Sequentially fold T frames into the map in ONE kernel launch
+        (ops/pallas_splat.splat_onehot_frames_cmajor): binning vmaps
+        over the batch, and each touched span's HBM traffic happens
+        once for all T frames instead of per frame.  Semantics match a
+        ``lax.scan`` of :meth:`update_classes` exactly.
+
+        Args:
+          positions: ``[T, 3]``; yaws / elevations: ``[T]``;
+          depths: ``[T, h, w, 1]``; classes: ``[T, ch, cw]`` (integer,
+          upsampled to the ray grid).
+        """
+        assert self.layout == "cmajor"
+        g = self.geometry
+        h, w = rays.shape[0], rays.shape[1]
+        classes = jax.vmap(
+            lambda c: G.upsample_features(c[..., None], h, w)[..., 0]
+        )(classes)
+        ids, weights = jax.vmap(
+            lambda p, y, e, d: self.contributions(
+                rays, p, y, e, d, min_ray_depth, max_ray_depth)
+        )(positions, yaws, elevations, depths)
+        on_tpu = jax.default_backend() == "tpu"
+        if use_kernel is None:
+            use_kernel = on_tpu and g.num_voxels % PS.SPAN == 0
+        if use_kernel:
+            data = PS.splat_onehot_frames_cmajor(
+                self.data, ids, weights,
+                classes.reshape(classes.shape[0], -1),
+                g.interpolation_weight, interpret=not on_tpu)
+            return dataclasses.replace(self, data=data)
+
+        def body(data, frame):
+            i, wt, cls = frame
+            return S.apply_onehot_cmajor(
+                data, i, wt, cls, g.interpolation_weight), None
+        data, _ = jax.lax.scan(
+            body, self.data,
+            (ids, weights, classes.reshape(classes.shape[0], -1)))
+        return dataclasses.replace(self, data=data)
+
     def update(self, rays: jax.Array, position: jax.Array, yaw: jax.Array,
                elevation: jax.Array, depth: jax.Array,
                features: jax.Array, min_ray_depth: float = 0.0,
@@ -347,6 +393,38 @@ class VoxelMap:
         if coords.shape[-1] == 3:
             out.append(G.bucketize(coords[..., 2], self.bins_z))
         return jnp.stack(out, axis=-1)
+
+
+def apply_onehot_group(vms, ids, weights, classes_list,
+                       use_kernel: bool = None):
+    """EMA-blend one frame's shared corner contributions into SEVERAL
+    one-hot maps at once (same grid, different per-pixel classes).
+
+    On TPU this is ONE Pallas launch (ops/pallas_splat.py
+    ``splat_onehot_multi_cmajor``): the record sort runs once with every
+    map's classes packed into a single payload, and each span is
+    accumulated for all maps by the same augmented matmul.  Semantics are
+    exactly per-map ``apply_onehot`` (the XLA fallback simply loops).
+    """
+    vms = list(vms)
+    classes_list = [c.reshape(-1) for c in classes_list]
+    assert all(vm.layout == "cmajor" for vm in vms)
+    num_voxels = vms[0].geometry.num_voxels
+    on_tpu = jax.default_backend() == "tpu"
+    if use_kernel is None:
+        use_kernel = (on_tpu and num_voxels % PS.SPAN == 0
+                      and len(vms) <= 4
+                      and all(vm.data.shape[0] < 256 for vm in vms))
+    if use_kernel and len(vms) > 1:
+        datas = PS.splat_onehot_multi_cmajor(
+            tuple(vm.data for vm in vms), ids, weights,
+            tuple(classes_list),
+            tuple(vm.geometry.interpolation_weight for vm in vms),
+            interpret=not on_tpu)
+        return [dataclasses.replace(vm, data=d)
+                for vm, d in zip(vms, datas)]
+    return [vm.apply_onehot(ids, weights, cls, use_kernel)
+            for vm, cls in zip(vms, classes_list)]
 
 
 jax.tree_util.register_dataclass(

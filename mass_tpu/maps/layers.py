@@ -242,13 +242,18 @@ class MapSet(dict):
             def fn(vms, position, yaw, elevation, depth, auxes):
                 # one orient/bin/corner pass per camera+grid signature,
                 # shared by every one-hot map in the group (maps reset
-                # together share bins — see MapSet.reset_all)
-                shared = {}
-                out = []
-                for layer, vm, aux in zip(layers, vms, auxes):
+                # together share bins — see MapSet.reset_all); each
+                # signature's maps then splat in ONE kernel launch
+                # (core/voxelmap.apply_onehot_group)
+                from mass_tpu.core.voxelmap import apply_onehot_group
+                shared = {}          # sig -> (ids, weights)
+                grouped = {}         # sig -> list of (slot, vm, classes)
+                out = [None] * len(layers)
+                for slot, (layer, vm, aux) in enumerate(
+                        zip(layers, vms, auxes)):
                     if not layer.shared_onehot:
-                        out.append(layer.update_fn(
-                            vm, position, yaw, elevation, depth, aux))
+                        out[slot] = layer.update_fn(
+                            vm, position, yaw, elevation, depth, aux)
                         continue
                     g = vm.geometry
                     sig = (layer.rays.shape, g.map_height, g.map_width,
@@ -257,9 +262,15 @@ class MapSet(dict):
                         shared[sig] = vm.contributions(
                             layer.rays, position, yaw, elevation,
                             depth)
+                    grouped.setdefault(sig, []).append(
+                        (slot, vm, layer.classes_for(aux, depth)))
+                for sig, members in grouped.items():
                     ids, weights = shared[sig]
-                    out.append(vm.apply_onehot(
-                        ids, weights, layer.classes_for(aux, depth)))
+                    new_vms = apply_onehot_group(
+                        [vm for _, vm, _ in members], ids, weights,
+                        [cls for _, _, cls in members])
+                    for (slot, _, _), nvm in zip(members, new_vms):
+                        out[slot] = nvm
                 return tuple(out)
 
             self._group_fns[key] = fn

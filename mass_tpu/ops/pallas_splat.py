@@ -186,6 +186,449 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
+                   ids_ref, w_ref, cls_ref,          # records [T*R] HBM
+                   map_hbm_in, map_hbm_out,          # [F, V] HBM
+                   rec_ids, rec_w, rec_cls,          # [2*CHUNK] VMEM
+                   span_buf,                         # [F, SPAN] VMEM
+                   sems, span_sem,
+                   *, num_frames: int, num_features: int,
+                   row_stride: int, starts_stride: int,
+                   interpolation_weight: float):
+    """Grid step = one voxel-id span, processed for a SEQUENCE of
+    frames: the span streams through VMEM once while every frame's EMA
+    blend applies in order (the kernel is span-DMA-bound, so amortizing
+    the load/store over T frames is the dominant win; per-voxel blend
+    order across frames is exactly the sequential per-frame kernel's).
+    """
+    i = pl.program_id(0)
+    base = i * SPAN
+    total = starts_ref[i + 1] - starts_ref[i]
+    for f in range(1, num_frames):
+        total += (starts_ref[f * starts_stride + i + 1]
+                  - starts_ref[f * starts_stride + i])
+
+    @pl.when(total > 0)
+    def _process():
+        load = pltpu.make_async_copy(
+            map_hbm_in.at[:, pl.ds(base, SPAN)], span_buf, span_sem)
+        load.start()
+
+        def body(acc):
+            load.wait()
+
+            def frame_body(f, _):
+                start = starts_ref[f * starts_stride + i]
+                end = starts_ref[f * starts_stride + i + 1]
+                aligned = (start // CHUNK) * CHUNK
+                n_chunks = jnp.where(end > start,
+                                     (end - aligned + CHUNK - 1)
+                                     // CHUNK, 0)
+
+                def _copies(k, slot):
+                    # records are flat [T*R] with R a CHUNK multiple,
+                    # so frame-relative chunk offsets stay aligned
+                    off = pl.multiple_of(
+                        f * row_stride + aligned + k * CHUNK, CHUNK)
+                    dst = pl.ds(pl.multiple_of(slot * CHUNK, CHUNK),
+                                CHUNK)
+                    return [
+                        pltpu.make_async_copy(
+                            ids_ref.at[pl.ds(off, CHUNK)],
+                            rec_ids.at[dst], sems.at[slot, 0]),
+                        pltpu.make_async_copy(
+                            w_ref.at[pl.ds(off, CHUNK)],
+                            rec_w.at[dst], sems.at[slot, 1]),
+                        pltpu.make_async_copy(
+                            cls_ref.at[pl.ds(off, CHUNK)],
+                            rec_cls.at[dst], sems.at[slot, 2]),
+                    ]
+
+                @pl.when(end > start)
+                def _frame():
+                    acc[:] = jnp.zeros_like(acc)
+                    for c in _copies(0, 0):
+                        c.start()
+
+                    def chunk_body(k, _):
+                        slot = k % 2
+
+                        @pl.when(k + 1 < n_chunks)
+                        def _prefetch():
+                            for c in _copies(k + 1, (k + 1) % 2):
+                                c.start()
+
+                        for c in _copies(k, slot):
+                            c.wait()
+
+                        sl = pl.ds(pl.multiple_of(slot * CHUNK, CHUNK),
+                                   CHUNK)
+                        all_ids = rec_ids[sl]
+                        all_w = rec_w[sl]
+                        all_cls = rec_cls[sl]
+                        span_iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (SUB, SPAN), 1)
+                        f_iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (SUB, num_features + 2), 1)
+                        sub_iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (SUB, 1), 0)[:, 0]
+
+                        for s in range(CHUNK // SUB):
+                            lo = s * SUB
+                            block_lo = aligned + k * CHUNK + lo
+
+                            @pl.when((block_lo < end)
+                                     & (block_lo + SUB > start))
+                            def _sub():
+                                slots = jax.lax.slice(
+                                    all_ids, (lo,), (lo + SUB,)) - base
+                                g_idx = block_lo + sub_iota
+                                valid = (g_idx >= start) & (g_idx < end)
+                                onehot = jnp.where(
+                                    (slots[:, None] == span_iota)
+                                    & valid[:, None], 1.0, 0.0)
+
+                                w = jax.lax.slice(all_w, (lo,),
+                                                  (lo + SUB,))
+                                cls = jax.lax.slice(all_cls, (lo,),
+                                                    (lo + SUB,))
+                                w2 = w * w
+                                baug = jnp.where(
+                                    cls[:, None] == f_iota,
+                                    w2[:, None], 0.0)
+                                baug = jnp.where(
+                                    f_iota == num_features,
+                                    w[:, None], baug)
+                                baug = jnp.where(
+                                    f_iota == num_features + 1,
+                                    w2[:, None], baug)
+                                acc[:] += jax.lax.dot_general(
+                                    baug, onehot,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                        return 0
+
+                    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+                    iw = interpolation_weight
+                    w_sum = acc[num_features, :]
+                    s2_sum = acc[num_features + 1, :]
+                    safe_w = jnp.maximum(w_sum, 1e-30)
+                    mult = jnp.where(w_sum > 0,
+                                     1.0 - iw * s2_sum / safe_w, 1.0)
+                    add = ((iw / safe_w)[None, :]
+                           * acc[:num_features, :])
+                    span_buf[:] = span_buf[:] * mult[None, :] + add
+                return 0
+
+            jax.lax.fori_loop(0, num_frames, frame_body, 0)
+            store = pltpu.make_async_copy(
+                span_buf, map_hbm_out.at[:, pl.ds(base, SPAN)],
+                span_sem)
+            store.start()
+            store.wait()
+
+        pl.run_scoped(
+            body, acc=pltpu.VMEM((num_features + 2, SPAN), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnums=(4,),
+                   static_argnames=("interpret",))
+def splat_onehot_frames_cmajor(data: jax.Array, ids: jax.Array,
+                               weights: jax.Array, classes: jax.Array,
+                               interpolation_weight: float = 0.5,
+                               interpret: bool = False) -> jax.Array:
+    """Sequentially splat T frames of one-hot contributions in ONE
+    kernel launch.
+
+    Exact per-frame EMA semantics (frame t's blend sees frame t-1's
+    result), but each touched span's HBM load/store happens once for
+    the whole batch instead of once per frame — the batched-mapping
+    path for episode replay, the mapping service, and the bench's
+    frame chunks (the kernel is footprint-DMA-bound,
+    docs/performance.md).
+
+    Args:
+      data: ``[F, V]`` channel-major map, V a SPAN multiple.
+      ids / weights: ``[T, 8N]`` per-frame corner contributions.
+      classes: ``[T, N]`` per-frame integer class images.
+    """
+    num_features, num_voxels = data.shape
+    assert num_voxels % SPAN == 0
+    num_frames = ids.shape[0]
+    from mass_tpu.ops.scatter import span_sorted_records
+
+    ids_s, w_s, cls_s, starts = jax.vmap(
+        span_sorted_records, in_axes=(0, 0, 0, None, None)
+    )(ids, weights, classes.reshape(num_frames, -1), num_voxels, SPAN)
+
+    pad = _round_up(ids_s.shape[1], CHUNK) + CHUNK - ids_s.shape[1]
+    ids_s = jnp.pad(ids_s, ((0, 0), (0, pad)),
+                    constant_values=num_voxels)
+    w_s = jnp.pad(w_s, ((0, 0), (0, pad)))
+    cls_s = jnp.pad(cls_s, ((0, 0), (0, pad)))
+
+    # flat [T*R] record streams: Mosaic DMA slices must not cut the
+    # tiled leading dim of a 2-D array, and R % CHUNK == 0 keeps every
+    # frame-relative chunk offset aligned
+    row_stride = ids_s.shape[1]
+    ids_s = ids_s.reshape(-1)
+    w_s = w_s.reshape(-1)
+    cls_s = cls_s.reshape(-1)
+    starts_stride = starts.shape[1]
+    starts = starts.reshape(-1)
+
+    n_spans = num_voxels // SPAN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_spans,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # ids
+            pl.BlockSpec(memory_space=pl.ANY),  # w
+            pl.BlockSpec(memory_space=pl.ANY),  # cls
+            pl.BlockSpec(memory_space=pl.ANY),  # map
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK,), jnp.int32),
+            pltpu.VMEM((2 * CHUNK,), jnp.float32),
+            pltpu.VMEM((2 * CHUNK,), jnp.int32),
+            pltpu.VMEM((num_features, SPAN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(_frames_kernel, num_frames=num_frames,
+                          num_features=num_features,
+                          row_stride=row_stride,
+                          starts_stride=starts_stride,
+                          interpolation_weight=interpolation_weight),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, ids_s, w_s, cls_s, data)
+
+
+def _multi_kernel(starts_ref,                        # scalar prefetch
+                  ids_ref, w_ref, cls_ref, *refs,
+                  blocks: tuple, interpolation_weights: tuple):
+    """Multi-map grid step: one span of voxel ids across ALL maps.
+
+    ``cls_ref`` carries every map's class id packed 8 bits apiece; the
+    accumulator stacks each map's numerator block (``blocks[m]`` rows)
+    followed by the shared W and S2 rows, so ONE augmented matmul per
+    sub-block feeds every map's EMA blend.
+    """
+    num_maps = len(blocks)
+    maps_in = refs[:num_maps]
+    maps_out = refs[num_maps:2 * num_maps]
+    rec_ids, rec_w, rec_cls = refs[2 * num_maps:2 * num_maps + 3]
+    span_bufs = refs[2 * num_maps + 3:3 * num_maps + 3]
+    sems = refs[3 * num_maps + 3]
+    span_sems = refs[3 * num_maps + 4]
+    acc_rows = sum(blocks) + 2
+
+    i = pl.program_id(0)
+    start = starts_ref[i]
+    end = starts_ref[i + 1]
+    count = end - start
+    aligned = (start // CHUNK) * CHUNK
+    base = i * SPAN
+
+    @pl.when(count > 0)
+    def _process():
+        loads = [pltpu.make_async_copy(
+            maps_in[m].at[:, pl.ds(base, SPAN)], span_bufs[m],
+            span_sems.at[m]) for m in range(num_maps)]
+        for ld in loads:
+            ld.start()
+
+        n_chunks = (end - aligned + CHUNK - 1) // CHUNK
+
+        def _copies(k, slot):
+            off = pl.multiple_of(aligned + k * CHUNK, CHUNK)
+            dst = pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)
+            return [
+                pltpu.make_async_copy(
+                    ids_ref.at[pl.ds(off, CHUNK)], rec_ids.at[dst],
+                    sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    w_ref.at[pl.ds(off, CHUNK)], rec_w.at[dst],
+                    sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    cls_ref.at[pl.ds(off, CHUNK)], rec_cls.at[dst],
+                    sems.at[slot, 2]),
+            ]
+
+        def body(acc):
+            acc[:] = jnp.zeros_like(acc)
+            for c in _copies(0, 0):
+                c.start()
+
+            def chunk_body(k, _):
+                slot = k % 2
+
+                @pl.when(k + 1 < n_chunks)
+                def _prefetch():
+                    for c in _copies(k + 1, (k + 1) % 2):
+                        c.start()
+
+                for c in _copies(k, slot):
+                    c.wait()
+
+                sl = pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)
+                all_ids = rec_ids[sl]
+                all_w = rec_w[sl]
+                all_cls = rec_cls[sl]
+                span_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (SUB, SPAN), 1)
+                f_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (SUB, acc_rows), 1)
+                sub_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (SUB, 1), 0)[:, 0]
+
+                for s in range(CHUNK // SUB):
+                    lo = s * SUB
+                    block_lo = aligned + k * CHUNK + lo
+
+                    @pl.when((block_lo < end) & (block_lo + SUB > start))
+                    def _sub():
+                        slots = jax.lax.slice(all_ids, (lo,),
+                                              (lo + SUB,)) - base
+                        g_idx = block_lo + sub_iota
+                        valid = (g_idx >= start) & (g_idx < end)
+                        onehot = jnp.where(
+                            (slots[:, None] == span_iota)
+                            & valid[:, None], 1.0, 0.0)
+
+                        w = jax.lax.slice(all_w, (lo,), (lo + SUB,))
+                        packed = jax.lax.slice(all_cls, (lo,),
+                                               (lo + SUB,))
+                        w2 = w * w
+                        baug = jnp.where(f_iota == acc_rows - 2,
+                                         w[:, None], 0.0)
+                        baug = jnp.where(f_iota == acc_rows - 1,
+                                         w2[:, None], baug)
+                        off = 0
+                        for m, fm in enumerate(blocks):
+                            cls_m = (packed >> (8 * m)) & 0xFF
+                            baug = jnp.where(
+                                f_iota == off + cls_m[:, None],
+                                w2[:, None], baug)
+                            off += fm
+                        acc[:] += jax.lax.dot_general(
+                            baug, onehot, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+            w_sum = acc[acc_rows - 2, :]
+            s2_sum = acc[acc_rows - 1, :]
+            safe_w = jnp.maximum(w_sum, 1e-30)
+            stores = []
+            off = 0
+            for m, fm in enumerate(blocks):
+                iw = interpolation_weights[m]
+                mult = jnp.where(w_sum > 0,
+                                 1.0 - iw * s2_sum / safe_w, 1.0)
+                add = (iw / safe_w)[None, :] * acc[off:off + fm, :]
+                loads[m].wait()
+                span_bufs[m][:] = span_bufs[m][:] * mult[None, :] + add
+                store = pltpu.make_async_copy(
+                    span_bufs[m], maps_out[m].at[:, pl.ds(base, SPAN)],
+                    span_sems.at[m])
+                store.start()
+                stores.append(store)
+                off += fm
+            for store in stores:
+                store.wait()
+
+        pl.run_scoped(
+            body, acc=pltpu.VMEM((acc_rows, SPAN), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnums=(4,),
+                   static_argnames=("interpret",))
+def splat_onehot_multi_cmajor(datas, ids: jax.Array,
+                              weights: jax.Array, classes,
+                              interpolation_weights,
+                              interpret: bool = False):
+    """One-hot trilinear splat into SEVERAL channel-major ``[F_m, V]``
+    maps in one kernel launch.
+
+    All maps share the frame's binning (``ids``/``weights`` — one sorted
+    record stream), differing only in the per-pixel class id; the
+    per-record class ids are packed 8 bits per map into one int32 sort
+    payload.  Per-map semantics are identical to ``splat_onehot_cmajor``
+    map-by-map (the reference updates each projection layer separately
+    per step — mass/nn/base_projection_layer.py:282-343; here the
+    agent's whole per-step map group is one launch).
+
+    Args:
+      datas: tuple of ``[F_m, V]`` maps (same V, a SPAN multiple).
+      ids / weights: ``[8N]`` shared corner contributions.
+      classes: tuple of ``[N]`` int class images, one per map (F_m < 256,
+        at most 4 maps).
+      interpolation_weights: static tuple of per-map EMA weights.
+    """
+    datas = tuple(datas)
+    classes = tuple(classes)
+    num_maps = len(datas)
+    assert 1 <= num_maps <= 4, "packed classes support at most 4 maps"
+    num_voxels = datas[0].shape[1]
+    assert num_voxels % SPAN == 0
+    blocks = tuple(d.shape[0] for d in datas)
+    for d, c in zip(datas, classes):
+        assert d.shape[1] == num_voxels
+        assert d.shape[0] < 256, "class ids must pack into 8 bits"
+    from mass_tpu.ops.scatter import span_sorted_records
+
+    packed = jnp.zeros(classes[0].reshape(-1).shape, jnp.int32)
+    for m, c in enumerate(classes):
+        packed = packed | (c.reshape(-1).astype(jnp.int32) << (8 * m))
+
+    ids_s, w_s, cls_s, starts = span_sorted_records(
+        ids, weights, packed, num_voxels, SPAN)
+
+    pad = _round_up(ids_s.shape[0], CHUNK) + CHUNK - ids_s.shape[0]
+    ids_s = jnp.pad(ids_s, (0, pad), constant_values=num_voxels)
+    w_s = jnp.pad(w_s, (0, pad))
+    cls_s = jnp.pad(cls_s, (0, pad))
+
+    n_spans = num_voxels // SPAN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_spans,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 + num_maps),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_maps,
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK,), jnp.int32),
+            pltpu.VMEM((2 * CHUNK,), jnp.float32),
+            pltpu.VMEM((2 * CHUNK,), jnp.int32),
+        ] + [pltpu.VMEM((fm, SPAN), jnp.float32) for fm in blocks] + [
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((num_maps,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(
+            _multi_kernel, blocks=blocks,
+            interpolation_weights=tuple(interpolation_weights)),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(d.shape, d.dtype)
+                   for d in datas],
+        input_output_aliases={4 + m: m for m in range(num_maps)},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, ids_s, w_s, cls_s, *datas)
+
+
 @functools.partial(jax.jit, static_argnums=(4,),
                    static_argnames=("interpret",))
 def splat_onehot_cmajor(data: jax.Array, ids: jax.Array,

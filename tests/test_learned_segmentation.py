@@ -93,7 +93,7 @@ def _collect_frames(seeds, per_scene=6, rng_seed=0, **sampler_kw):
     return np.stack(images), np.stack(targets)
 
 
-def _train_unet(images, targets, steps=200, lr=3e-3, seed=0):
+def _train_unet(images, targets, steps=140, lr=5e-3, seed=0):
     model = SegmenterUNet()
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros((1,) + images.shape[1:]))
@@ -130,8 +130,9 @@ def trained_unet():
     # scene distribution like the reference trains its detector on the
     # same THOR scene pool it evaluates in (train_maskrcnn.py:54-70)
     images, targets = _collect_frames(
-        [2, 4], num_objects=2, num_misplaced=1, num_opened=0)
-    extra = _collect_frames([100, 101])
+        [2, 4], per_scene=4, num_objects=2, num_misplaced=1,
+        num_opened=0)
+    extra = _collect_frames([100, 101], per_scene=4)
     images = np.concatenate([images, extra[0]])
     targets = np.concatenate([targets, extra[1]])
     params, loss = _train_unet(images, targets)

@@ -108,6 +108,7 @@ def test_train_step_runs_and_updates(trainer):
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_fixed_batch(trainer):
     model, variables, opt_state, run = trainer
     batch = _batch(np.random.RandomState(1), 2)

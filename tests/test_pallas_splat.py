@@ -98,6 +98,97 @@ def test_kernel_sequential_updates_match_oracle():
     np.testing.assert_allclose(np.asarray(vm.grid()), fmap, atol=1e-4)
 
 
+def test_multi_kernel_matches_per_map_kernels():
+    """One multi-map launch == independent per-map splats (occupancy +
+    semantic sharing the frame's binning, distinct EMA weights)."""
+    rng = np.random.RandomState(3)
+    vm = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    ids, w = _random_points(rng, vm)
+    n = CAM["h"] * CAM["w"]
+    data_occ = jnp.asarray(rng.rand(1, GEO.num_voxels).astype(
+        np.float32))
+    data_sem = jnp.asarray(rng.rand(GEO.feature_size,
+                                    GEO.num_voxels).astype(np.float32))
+    cls_occ = jnp.zeros((n,), jnp.int32)
+    cls_sem = jnp.asarray(rng.randint(0, GEO.feature_size,
+                                      (n,)).astype(np.int32))
+
+    out_occ, out_sem = PS.splat_onehot_multi_cmajor(
+        (data_occ, data_sem), ids, w, (cls_occ, cls_sem), (0.5, 0.25),
+        interpret=True)
+    ref_occ = apply_onehot_cmajor(data_occ, ids, w, cls_occ, 0.5)
+    ref_sem = apply_onehot_cmajor(data_sem, ids, w, cls_sem, 0.25)
+    assert np.asarray(jnp.abs(ref_sem - data_sem)).max() > 0
+    np.testing.assert_allclose(np.asarray(out_occ), np.asarray(ref_occ),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_sem), np.asarray(ref_sem),
+                               atol=1e-5)
+
+
+def test_apply_onehot_group_kernel_path():
+    """VoxelMap-level group apply (kernel, interpret mode) matches the
+    XLA per-map fallback."""
+    from mass_tpu.core.voxelmap import apply_onehot_group
+    rng = np.random.RandomState(4)
+    vm_sem = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    vm_occ = VoxelMap.create(
+        dataclasses.replace(GEO, feature_size=1), (0.0, 0.0, 0.0))
+    ids, w = _random_points(rng, vm_sem)
+    n = CAM["h"] * CAM["w"]
+    cls_occ = jnp.zeros((n,), jnp.int32)
+    cls_sem = jnp.asarray(rng.randint(0, GEO.feature_size,
+                                      (n,)).astype(np.int32))
+
+    fused = apply_onehot_group([vm_occ, vm_sem], ids, w,
+                               [cls_occ, cls_sem], use_kernel=True)
+    ref = apply_onehot_group([vm_occ, vm_sem], ids, w,
+                             [cls_occ, cls_sem], use_kernel=False)
+    for got, want in zip(fused, ref):
+        np.testing.assert_allclose(np.asarray(got.data),
+                                   np.asarray(want.data), atol=1e-5)
+    assert float(np.abs(np.asarray(fused[1].data)).sum()) > 0
+
+
+def test_frames_kernel_matches_sequential_updates():
+    """One T-frame launch == T sequential per-frame updates (the blend
+    order within every voxel must be preserved across frames)."""
+    rng = np.random.RandomState(5)
+    rays = R.ref_camera_rays(CAM["h"], CAM["w"], CAM["f"], CAM["f"])
+    jrays = jnp.asarray(rays)
+    T = 3
+    positions = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (T, 3)).astype(np.float32))
+    yaws = jnp.asarray(rng.uniform(-np.pi, np.pi, T).astype(np.float32))
+    elevs = jnp.asarray(rng.uniform(-0.6, 0.2, T).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(
+        0.05, 2.2, (T, CAM["h"], CAM["w"], 1)).astype(np.float32))
+    classes = jnp.asarray(rng.randint(
+        0, GEO.feature_size, (T, CAM["h"], CAM["w"])).astype(np.int32))
+
+    vm_seq = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    for t in range(T):
+        vm_seq = vm_seq.update_classes(
+            jrays, positions[t], yaws[t], elevs[t], depths[t],
+            classes[t], use_kernel=False)
+
+    vm_batched = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    vm_batched = vm_batched.update_classes_frames(
+        jrays, positions, yaws, elevs, depths, classes,
+        use_kernel=True)
+
+    a = np.asarray(vm_batched.data)
+    b = np.asarray(vm_seq.data)
+    assert np.abs(b).max() > 0
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # the XLA fallback scan path agrees too
+    vm_scan = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    vm_scan = vm_scan.update_classes_frames(
+        jrays, positions, yaws, elevs, depths, classes,
+        use_kernel=False)
+    np.testing.assert_allclose(np.asarray(vm_scan.data), b, atol=1e-5)
+
+
 def test_kernel_occupancy_single_channel():
     geo = dataclasses.replace(GEO, feature_size=1)
     rng = np.random.RandomState(2)
