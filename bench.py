@@ -22,10 +22,11 @@ import numpy as np
 CAMERA = 224
 MAP_H, MAP_W, MAP_D, NUM_CLASSES = 384, 384, 96, 54
 FRAMES = int(os.environ.get("BENCH_FRAMES", "128"))
-# frames folded per kernel launch (span HBM traffic amortizes across
-# the batch — ops/pallas_splat.splat_onehot_frames_cmajor); sequential
-# EMA semantics are preserved exactly
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# frames folded per kernel launch (>1 routes through
+# ops/pallas_splat.splat_onehot_frames_cmajor — parity-exact, but
+# measured perf-neutral on the tunnel: per-frame binning/sort prep
+# dominates, see docs/performance.md)
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "6"))
 
 
@@ -47,6 +48,15 @@ def measure_tpu():
     # without per-frame host round-trips or per-frame span DMAs
     @functools.partial(jax.jit, donate_argnums=0)
     def run_chunk(vm, positions, yaws, elevations, depths, semantics):
+        if BATCH <= 1:                       # per-frame kernel launches
+            def body(m, frame):
+                p, y, e, d, s = frame
+                return m.update_classes(rays, p, y, e, d, s), None
+            vm, _ = jax.lax.scan(
+                body, vm,
+                (positions, yaws, elevations, depths, semantics))
+            return vm
+
         def body(m, group):
             p, y, e, d, s = group
             return m.update_classes_frames(rays, p, y, e, d, s), None

@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "on a torchvision host)")
     p.add_argument("--videos", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu"],
+                   help="force the JAX backend (the axon TPU plugin "
+                        "ignores JAX_PLATFORMS=cpu, so host-side "
+                        "ablation sweeps pass --platform cpu)")
     return p
 
 
@@ -253,6 +258,9 @@ def make_video_factory(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.logdir, exist_ok=True)
     name = (f"{args.start_task}-"
             f"{args.start_task + args.total_tasks * args.every_tasks}")

@@ -54,15 +54,29 @@ def batches(images, targets, batch_size: int,
         yield images[sel], targets[sel]
 
 
-def make_train_step(model, tx, mesh):
+def class_weights(targets: np.ndarray,
+                  num_classes: int = taxonomy.NUM_CLASSES) -> np.ndarray:
+    """Inverse-sqrt-frequency class weights, mean-normalized: object
+    pixels are <1% of a frame, so plain CE collapses to the background
+    classes (the reference's Mask R-CNN sidesteps this with per-ROI
+    sampling; the per-pixel trainer reweights instead)."""
+    freq = np.bincount(targets.reshape(-1).astype(np.int64),
+                       minlength=num_classes) + 1
+    w = 1.0 / np.sqrt(freq)
+    return (w / w.mean()).astype(np.float32)
+
+
+def make_train_step(model, tx, mesh, weights=None):
     batch_sh = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
+    w = (jnp.asarray(weights) if weights is not None
+         else jnp.ones((taxonomy.NUM_CLASSES,), jnp.float32))
 
     def loss_fn(params, rgb, sem):
         logits = model.apply(params, rgb)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits, sem)
-        return ce.mean()
+        return (ce * w[sem]).mean()
 
     @jax.jit
     def step(params, opt_state, rgb, sem):
@@ -108,7 +122,8 @@ def evaluate(model, params, images, targets, batch_size: int = 8):
 
 def train(dataset_dir: str, logdir: str, epochs: int = 1,
           batch_size: int = 8, learning_rate: float = 3e-4,
-          seed: int = 0, image_size: int = None):
+          seed: int = 0, image_size: int = None,
+          class_weighting: bool = True):
     images, targets = load_split(dataset_dir, "training")
     val = load_split(dataset_dir, "validation")
     # the data axis must divide the batch
@@ -122,7 +137,9 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
                         jnp.zeros((1,) + images.shape[1:3] + (3,)))
     tx = optax.adamw(learning_rate)
     opt_state = tx.init(params)
-    run = make_train_step(model, tx, mesh)
+    run = make_train_step(
+        model, tx, mesh,
+        class_weights(targets) if class_weighting else None)
 
     rng = np.random.RandomState(seed)
     history = []
@@ -155,9 +172,15 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--learning-rate", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-class-weighting", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu"])
     args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     train(args.dataset, args.logdir, args.epochs, args.batch_size,
-          args.learning_rate, args.seed)
+          args.learning_rate, args.seed,
+          class_weighting=not args.no_class_weighting)
 
 
 if __name__ == "__main__":
