@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--exploration-budget-one", type=int, default=5)
     p.add_argument("--exploration-budget-two", type=int, default=5)
+    p.add_argument("--max-steps", type=int, default=250,
+                   help="per-phase step budget (gridworld backend; the "
+                        "challenge gives walkthrough 250 and unshuffle "
+                        "500 — create_submission.py:45)")
     p.add_argument("--detection-threshold", type=float, default=0.9)
 
     p.add_argument("--map-height", type=int, default=384)
@@ -210,6 +214,7 @@ def make_sampler(args, config: AgentConfig):
                       args.start_task +
                       args.total_tasks * args.every_tasks + 1)
         sampler = GridWorldTaskSampler(list(seeds), camera=config.camera,
+                                       max_steps=args.max_steps,
                                        one_phase=args.one_phase)
     sensor = load_segmentation_sensor(args)
     if sensor is not None:

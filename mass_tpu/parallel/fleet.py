@@ -1,0 +1,201 @@
+"""Fleet mapping: many episodes' one-hot maps updated by ONE kernel
+launch per step.
+
+The reference evaluates episodes one-per-GPU-process with zero sharing
+(reference: agent.py:795-800 --start-task/--every-tasks).  The TPU-
+native serving shape stores B episodes' channel-major maps as SLABS of
+a single ``[F, B*V]`` buffer: per-episode frames bin against their own
+episode's grid (origins differ), corner ids re-base by ``episode * V``,
+and the whole fleet's records feed the SAME sorted-span splat kernels
+that serve the single-episode hot path (ops/pallas_splat.py) — one
+sort + one launch per step for every episode and every same-grid map.
+
+Discard ids re-base to the global discard slot ``B * V`` so an invalid
+pixel of episode e can never leak into episode e+1's first voxel.
+
+This composes with parallel/sharding.py: the flat ``B*V`` axis is the
+natural multi-chip partition (slab(s) per device, frames replicated,
+records self-route by id).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mass_tpu.config import CameraConfig, MapGeometry
+from mass_tpu.core import geometry as G
+from mass_tpu.core.voxelmap import VoxelMap, apply_onehot_group
+from mass_tpu.ops.scatter import corner_contributions
+
+
+class FleetMaps:
+    """B episodes x named one-hot maps (same camera + grid, shared
+    binning), each map family one ``[F_m, B*V]`` buffer.
+
+    Args:
+      batch: number of episodes B.
+      camera: shared camera intrinsics.
+      geometry: per-episode map geometry (feature_size ignored).
+      feature_sizes: name -> channel count, e.g.
+        ``{"semantic0": 54, "occupancy": 1}``.  Maps named
+        ``occupancy*`` take implicit class 0 (no classes input needed).
+    """
+
+    def __init__(self, batch: int, camera: CameraConfig,
+                 geometry: MapGeometry,
+                 feature_sizes: Dict[str, int]):
+        self.batch = batch
+        self.camera = camera
+        self.base_geometry = geometry
+        self.names: List[str] = list(feature_sizes)
+        self.rays = G.camera_rays(camera.height, camera.width,
+                                  camera.focal_length,
+                                  camera.focal_length)
+
+        g = geometry
+        self._episode_voxels = g.num_voxels
+        # the fleet buffer is a taller map: B*H rows of the same grid,
+        # so VoxelMap storage/kernel routing applies unchanged
+        self._fleet_geoms = {
+            name: dataclasses.replace(
+                g, map_height=g.map_height * batch, feature_size=f,
+                layout="cmajor")
+            for name, f in feature_sizes.items()}
+        self._episode_geoms = {
+            name: dataclasses.replace(g, feature_size=f,
+                                      layout="cmajor")
+            for name, f in feature_sizes.items()}
+        self.buffers = {
+            name: VoxelMap.create(fg).data
+            for name, fg in self._fleet_geoms.items()}
+
+        zeros = jnp.zeros((batch,), jnp.float32)
+        self.bins_x = jax.vmap(
+            lambda o: G.uniform_bins(o, g.map_width,
+                                     g.grid_resolution))(zeros)
+        self.bins_y = jax.vmap(
+            lambda o: G.uniform_bins(o, g.map_height,
+                                     g.grid_resolution))(zeros)
+        self.bins_z = jax.vmap(
+            lambda o: G.uniform_bins(o, g.map_depth,
+                                     g.grid_resolution))(zeros)
+
+        self._step = self._build_step()
+        self._reset_slab = self._build_reset()
+
+    # ------------------------------------------------------------ build
+
+    def _build_step(self):
+        rays = self.rays
+        g = self.base_geometry
+        B = self.batch
+        V = self._episode_voxels
+        names = self.names
+        h, w = rays.shape[0], rays.shape[1]
+        fleet_vms = {n: VoxelMap.create(fg)
+                     for n, fg in self._fleet_geoms.items()}
+
+        @jax.jit
+        def step(buffers, bins_x, bins_y, bins_z, positions, yaws,
+                 elevations, depths, classes):
+            def per_episode(bx, by, bz, p, y, e, d):
+                oriented = G.orient_rays(rays, y, e)
+                pts = G.bin_rays(bx, by, bz, p, oriented, d,
+                                 resolution=g.grid_resolution)
+                return corner_contributions(
+                    pts, (g.map_height, g.map_width, g.map_depth))
+
+            ids, weights = jax.vmap(per_episode)(
+                bins_x, bins_y, bins_z, positions, yaws, elevations,
+                depths)                                   # [B, 8N]
+            offsets = (jnp.arange(B, dtype=ids.dtype) * V)[:, None]
+            gids = jnp.where(ids < V, ids + offsets, B * V)
+            # the apply/sort contract is corner-major records (pixel of
+            # record k is k % num_pixels): lift the per-episode corner
+            # axis to the front so classes stay a flat [B*N] image batch
+            n = gids.shape[1] // 8
+            gids = gids.reshape(B, 8, n).transpose(1, 0, 2).reshape(-1)
+            gw = weights.reshape(B, 8, n).transpose(1, 0, 2).reshape(-1)
+
+            vms, cls_flat = [], []
+            for name in names:
+                vms.append(dataclasses.replace(fleet_vms[name],
+                                               data=buffers[name]))
+                if name in classes:
+                    up = jax.vmap(lambda c: G.upsample_features(
+                        c[..., None], h, w)[..., 0])(classes[name])
+                else:                     # occupancy: implicit class 0
+                    up = jnp.zeros((B, h, w), jnp.int32)
+                cls_flat.append(up.reshape(-1))
+            out = apply_onehot_group(vms, gids, gw, cls_flat)
+            return {name: vm.data for name, vm in zip(names, out)}
+
+        return step
+
+    def _build_reset(self):
+        g = self.base_geometry
+        V = self._episode_voxels
+
+        @jax.jit
+        def reset(buffers, bins_x, bins_y, bins_z, episode, origin):
+            out = {}
+            for name, buf in buffers.items():
+                zero = jnp.zeros((buf.shape[0], V), buf.dtype)
+                out[name] = jax.lax.dynamic_update_slice(
+                    buf, zero, (0, episode * V))
+            bx = G.uniform_bins(origin[0], g.map_width,
+                                g.grid_resolution)
+            by = G.uniform_bins(origin[1], g.map_height,
+                                g.grid_resolution)
+            bz = G.uniform_bins(origin[2], g.map_depth,
+                                g.grid_resolution)
+            e = episode[None]
+            return (out,
+                    bins_x.at[e].set(bx[None]),
+                    bins_y.at[e].set(by[None]),
+                    bins_z.at[e].set(bz[None]))
+
+        return reset
+
+    # ------------------------------------------------------------- api
+
+    def reset(self, episode: int, origin) -> None:
+        """Zero one episode's slabs and re-centre its grid."""
+        self.buffers, self.bins_x, self.bins_y, self.bins_z = \
+            self._reset_slab(self.buffers, self.bins_x, self.bins_y,
+                             self.bins_z, jnp.int32(episode),
+                             jnp.asarray(origin, jnp.float32))
+
+    def update_batch(self, positions, yaws, elevations, depths,
+                     classes: Dict[str, np.ndarray]) -> None:
+        """Fold one frame per episode into every map, one dispatch.
+
+        Args: ``positions [B, 3]``, ``yaws [B]``, ``elevations [B]``,
+        ``depths [B, h, w, 1]``, ``classes`` name -> ``[B, ch, cw]``
+        (omit occupancy-style maps).
+        """
+        self.buffers = self._step(
+            self.buffers, self.bins_x, self.bins_y, self.bins_z,
+            jnp.asarray(positions, jnp.float32),
+            jnp.asarray(yaws, jnp.float32),
+            jnp.asarray(elevations, jnp.float32),
+            jnp.asarray(depths, jnp.float32),
+            {k: jnp.asarray(v, jnp.int32) for k, v in classes.items()})
+
+    def view(self, name: str, episode: int) -> VoxelMap:
+        """One episode's map as a standard VoxelMap (planner/matcher
+        input; a device-side slice)."""
+        V = self._episode_voxels
+        data = jax.lax.dynamic_slice(
+            self.buffers[name], (0, episode * V),
+            (self.buffers[name].shape[0], V))
+        return VoxelMap(data=data,
+                        bins_x=self.bins_x[episode],
+                        bins_y=self.bins_y[episode],
+                        bins_z=self.bins_z[episode],
+                        geometry=self._episode_geoms[name])

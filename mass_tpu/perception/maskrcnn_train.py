@@ -376,6 +376,19 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
         history.append(mean)
         print(mean)
 
+    # fused-mask pixel metrics on the validation split (the COCO
+    # evaluator stand-in — the downstream pipeline only ever consumes
+    # the fused per-pixel class image)
+    try:
+        from mass_tpu.perception.train_detector import load_split
+        val_images, val_sem = load_split(dataset_dir, "validation")
+        metrics = evaluate_fused(model, variables, val_images, val_sem)
+        metrics["epoch"] = "validation"
+        history.append(metrics)
+        print(metrics)
+    except FileNotFoundError:
+        pass
+
     if logdir:
         os.makedirs(logdir, exist_ok=True)
         from mass_tpu.utils.checkpoint import save_pytree
