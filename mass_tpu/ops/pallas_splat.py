@@ -56,7 +56,16 @@ def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
             *, num_features: int, interpolation_weight: float):
     """Grid step = one voxel-id span.  Untouched spans are skipped
     entirely (the map output aliases the input, so skipped spans keep
-    their contents with zero HBM traffic)."""
+    their contents with zero HBM traffic).
+
+    MXU packing: the accumulator matmul's output rows are F+2, but the
+    MXU processes 128-row output tiles — at F=54 a ``[F+2, SPAN]``
+    accumulator wastes >2x of the systolic array.  When 2*(F+2) <= 128
+    the span splits into two half-width column blocks STACKED as row
+    blocks (``[2*(F+2), SPAN/2]``): each record's row index becomes
+    ``(slot // (SPAN/2)) * (F+2) + class``, filling the 128 output rows
+    with useful work.  Exact same per-voxel sums, ~2x fewer effective
+    MACs."""
     i = pl.program_id(0)
     start = starts_ref[i]
     end = starts_ref[i + 1]
@@ -85,6 +94,9 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
                           interpolation_weight):
     n_chunks = jnp.where(count > 0,
                          (end - aligned + CHUNK - 1) // CHUNK, 0)
+    stride = num_features + 2
+    n_blocks = 2 if 2 * stride <= 128 else 1
+    half = SPAN // n_blocks
 
     def _copies(k, slot):
         off = pl.multiple_of(aligned + k * CHUNK, CHUNK)
@@ -127,9 +139,9 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
             all_w = rec_w[sl]
             all_cls = rec_cls[sl]
             span_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (SUB, SPAN), 1)
+                jnp.int32, (SUB, half), 1)
             f_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (SUB, num_features + 2), 1)
+                jnp.int32, (SUB, n_blocks * stride), 1)
             sub_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (SUB, 1), 0)[:, 0]
 
@@ -145,19 +157,24 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
                                           (lo + SUB,)) - base
                     g_idx = block_lo + sub_iota
                     valid = (g_idx >= start) & (g_idx < end)
+                    col = slots % half
+                    row0 = (slots // half) * stride
                     onehot = jnp.where(
-                        (slots[:, None] == span_iota) & valid[:, None],
+                        (col[:, None] == span_iota) & valid[:, None],
                         1.0, 0.0)
 
                     w = jax.lax.slice(all_w, (lo,), (lo + SUB,))
                     cls = jax.lax.slice(all_cls, (lo,), (lo + SUB,))
                     w2 = w * w
-                    baug = jnp.where(cls[:, None] == f_iota,
-                                     w2[:, None], 0.0)
-                    baug = jnp.where(f_iota == num_features,
-                                     w[:, None], baug)
-                    baug = jnp.where(f_iota == num_features + 1,
-                                     w2[:, None], baug)
+                    baug = jnp.where(
+                        f_iota == (row0 + cls)[:, None],
+                        w2[:, None], 0.0)
+                    baug = jnp.where(
+                        f_iota == (row0 + num_features)[:, None],
+                        w[:, None], baug)
+                    baug = jnp.where(
+                        f_iota == (row0 + num_features + 1)[:, None],
+                        w2[:, None], baug)
                     acc[:] += jax.lax.dot_general(
                         baug, onehot, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -166,20 +183,25 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
         iw = interpolation_weight
-        w_sum = acc[num_features, :]
-        s2_sum = acc[num_features + 1, :]
-        safe_w = jnp.maximum(w_sum, 1e-30)
-        mult = jnp.where(w_sum > 0, 1.0 - iw * s2_sum / safe_w, 1.0)
-        add = (iw / safe_w)[None, :] * acc[:num_features, :]
         load.wait()
-        span_buf[:] = span_buf[:] * mult[None, :] + add
+        for blk in range(n_blocks):
+            r0 = blk * stride
+            w_sum = acc[r0 + num_features, :]
+            s2_sum = acc[r0 + num_features + 1, :]
+            safe_w = jnp.maximum(w_sum, 1e-30)
+            mult = jnp.where(w_sum > 0, 1.0 - iw * s2_sum / safe_w,
+                             1.0)
+            add = (iw / safe_w)[None, :] * acc[r0:r0 + num_features, :]
+            cols = pl.ds(blk * half, half)
+            span_buf[:, cols] = span_buf[:, cols] * mult[None, :] + add
         store = pltpu.make_async_copy(
             span_buf, map_hbm_out.at[:, pl.ds(base, SPAN)], span_sem)
         store.start()
         store.wait()
 
     pl.run_scoped(
-        body, acc=pltpu.VMEM((num_features + 2, SPAN), jnp.float32))
+        body, acc=pltpu.VMEM((n_blocks * (num_features + 2),
+                              SPAN // n_blocks), jnp.float32))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -203,6 +225,9 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
     """
     i = pl.program_id(0)
     base = i * SPAN
+    stride = num_features + 2
+    n_blocks = 2 if 2 * stride <= 128 else 1   # MXU row packing (see
+    half = SPAN // n_blocks                    # _kernel docstring)
     total = starts_ref[i + 1] - starts_ref[i]
     for f in range(1, num_frames):
         total += (starts_ref[f * starts_stride + i + 1]
@@ -267,9 +292,9 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
                         all_w = rec_w[sl]
                         all_cls = rec_cls[sl]
                         span_iota = jax.lax.broadcasted_iota(
-                            jnp.int32, (SUB, SPAN), 1)
+                            jnp.int32, (SUB, half), 1)
                         f_iota = jax.lax.broadcasted_iota(
-                            jnp.int32, (SUB, num_features + 2), 1)
+                            jnp.int32, (SUB, n_blocks * stride), 1)
                         sub_iota = jax.lax.broadcasted_iota(
                             jnp.int32, (SUB, 1), 0)[:, 0]
 
@@ -284,8 +309,10 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
                                     all_ids, (lo,), (lo + SUB,)) - base
                                 g_idx = block_lo + sub_iota
                                 valid = (g_idx >= start) & (g_idx < end)
+                                col = slots % half
+                                row0 = (slots // half) * stride
                                 onehot = jnp.where(
-                                    (slots[:, None] == span_iota)
+                                    (col[:, None] == span_iota)
                                     & valid[:, None], 1.0, 0.0)
 
                                 w = jax.lax.slice(all_w, (lo,),
@@ -294,13 +321,15 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
                                                     (lo + SUB,))
                                 w2 = w * w
                                 baug = jnp.where(
-                                    cls[:, None] == f_iota,
+                                    f_iota == (row0 + cls)[:, None],
                                     w2[:, None], 0.0)
                                 baug = jnp.where(
-                                    f_iota == num_features,
+                                    f_iota ==
+                                    (row0 + num_features)[:, None],
                                     w[:, None], baug)
                                 baug = jnp.where(
-                                    f_iota == num_features + 1,
+                                    f_iota ==
+                                    (row0 + num_features + 1)[:, None],
                                     w2[:, None], baug)
                                 acc[:] += jax.lax.dot_general(
                                     baug, onehot,
@@ -311,14 +340,18 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
                     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
                     iw = interpolation_weight
-                    w_sum = acc[num_features, :]
-                    s2_sum = acc[num_features + 1, :]
-                    safe_w = jnp.maximum(w_sum, 1e-30)
-                    mult = jnp.where(w_sum > 0,
-                                     1.0 - iw * s2_sum / safe_w, 1.0)
-                    add = ((iw / safe_w)[None, :]
-                           * acc[:num_features, :])
-                    span_buf[:] = span_buf[:] * mult[None, :] + add
+                    for blk in range(n_blocks):
+                        r0 = blk * stride
+                        w_sum = acc[r0 + num_features, :]
+                        s2_sum = acc[r0 + num_features + 1, :]
+                        safe_w = jnp.maximum(w_sum, 1e-30)
+                        mult = jnp.where(
+                            w_sum > 0, 1.0 - iw * s2_sum / safe_w, 1.0)
+                        add = ((iw / safe_w)[None, :]
+                               * acc[r0:r0 + num_features, :])
+                        cols = pl.ds(blk * half, half)
+                        span_buf[:, cols] = (span_buf[:, cols]
+                                             * mult[None, :] + add)
                 return 0
 
             jax.lax.fori_loop(0, num_frames, frame_body, 0)
@@ -329,7 +362,8 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
             store.wait()
 
         pl.run_scoped(
-            body, acc=pltpu.VMEM((num_features + 2, SPAN), jnp.float32))
+            body, acc=pltpu.VMEM((n_blocks * stride, half),
+                                 jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnums=(4,),
