@@ -68,7 +68,9 @@ def main():
                          cam.focal_length)
     maps = [VoxelMap.create(sg, (0.0, 0.0, 1.5)) for _ in range(B)]
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
     def one(vm, p, y, e, d, c):
         return vm.update_classes(rays, p, y, e, d, c)
 

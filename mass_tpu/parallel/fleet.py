@@ -21,6 +21,7 @@ records self-route by id).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List
 
 import jax
@@ -100,7 +101,7 @@ class FleetMaps:
         fleet_vms = {n: VoxelMap.create(fg)
                      for n, fg in self._fleet_geoms.items()}
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=0)
         def step(buffers, bins_x, bins_y, bins_z, positions, yaws,
                  elevations, depths, classes):
             def per_episode(bx, by, bz, p, y, e, d):
@@ -141,7 +142,7 @@ class FleetMaps:
         g = self.base_geometry
         V = self._episode_voxels
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=0)
         def reset(buffers, bins_x, bins_y, bins_z, episode, origin):
             out = {}
             for name, buf in buffers.items():
