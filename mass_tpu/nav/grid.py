@@ -228,6 +228,30 @@ def plan(grid: NavGrid, occ_vm, agent_world, goal_world, *, step: int,
     return grid, dist, tgt, agent_cell, goal_cell
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "step", "padding", "z_start", "z_stop", "refresh"))
+def plan_batch(grids: NavGrid, occ_vms, agent_worlds, goal_worlds, *,
+               step: int, padding: int, z_start: int, z_stop: int,
+               threshold: float, refresh: bool):
+    """Fleet planning: :func:`plan` vmapped over a batch of episodes —
+    ONE dispatch plans every episode of an evaluation fleet
+    (parallel/fleet.py pairs with this; the BFS ``while_loop`` runs
+    until the slowest episode converges).
+
+    Args are the per-episode pytrees stacked on a leading ``[B]`` axis:
+    ``grids`` a NavGrid of ``[B, ny, nx]`` masks (+ ``[B]`` offsets),
+    ``occ_vms`` a VoxelMap with ``[B, ...]`` data/bins and shared
+    static geometry, ``agent_worlds`` / ``goal_worlds`` ``[B, 3]``.
+    Returns the same tuple as :func:`plan`, batch-stacked.
+    """
+    def one(grid, vm, agent, goal):
+        return plan(grid, vm, agent, goal, step=step, padding=padding,
+                    z_start=z_start, z_stop=z_stop, threshold=threshold,
+                    refresh=refresh)
+
+    return jax.vmap(one)(grids, occ_vms, agent_worlds, goal_worlds)
+
+
 @functools.partial(jax.jit, static_argnames=("step", "radius_cells"))
 def seeds_near_cell(grid: NavGrid, cell_xy, step: int,
                     radius_cells: int) -> jax.Array:

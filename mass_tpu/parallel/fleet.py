@@ -103,7 +103,7 @@ class FleetMaps:
 
         @functools.partial(jax.jit, donate_argnums=0)
         def step(buffers, bins_x, bins_y, bins_z, positions, yaws,
-                 elevations, depths, classes):
+                 elevations, depths, classes, active):
             def per_episode(bx, by, bz, p, y, e, d):
                 oriented = G.orient_rays(rays, y, e)
                 pts = G.bin_rays(bx, by, bz, p, oriented, d,
@@ -120,7 +120,7 @@ class FleetMaps:
             # record k is k % num_pixels): lift the per-episode corner
             # axis to the front so classes stay a flat [B*N] image batch
             n = gids.shape[1] // 8
-            gids = gids.reshape(B, 8, n).transpose(1, 0, 2).reshape(-1)
+            gids = gids.reshape(B, 8, n).transpose(1, 0, 2)  # [8, B, n]
             gw = weights.reshape(B, 8, n).transpose(1, 0, 2).reshape(-1)
 
             vms, cls_flat = [], []
@@ -133,7 +133,21 @@ class FleetMaps:
                 else:                     # occupancy: implicit class 0
                     up = jnp.zeros((B, h, w), jnp.int32)
                 cls_flat.append(up.reshape(-1))
-            out = apply_onehot_group(vms, gids, gw, cls_flat)
+
+            if active is None:
+                out = apply_onehot_group(vms, gids.reshape(-1), gw,
+                                         cls_flat)
+            else:
+                # per-(episode, family) masks: inactive episodes' records
+                # re-route to the discard slot PER FAMILY.  The multi-map
+                # kernel shares W/S2 across families (its EMA multiplier
+                # would decay inactive maps), so masked steps run one
+                # single-family launch per family instead.
+                out = []
+                for name, vm, cls in zip(names, vms, cls_flat):
+                    mask = active[name][None, :, None]     # [1, B, 1]
+                    fam_ids = jnp.where(mask, gids, B * V).reshape(-1)
+                    out.append(vm.apply_onehot(fam_ids, gw, cls))
             return {name: vm.data for name, vm in zip(names, out)}
 
         return step
@@ -173,20 +187,27 @@ class FleetMaps:
                              jnp.asarray(origin, jnp.float32))
 
     def update_batch(self, positions, yaws, elevations, depths,
-                     classes: Dict[str, np.ndarray]) -> None:
+                     classes: Dict[str, np.ndarray],
+                     active: Dict[str, np.ndarray] = None) -> None:
         """Fold one frame per episode into every map, one dispatch.
 
         Args: ``positions [B, 3]``, ``yaws [B]``, ``elevations [B]``,
         ``depths [B, h, w, 1]``, ``classes`` name -> ``[B, ch, cw]``
-        (omit occupancy-style maps).
+        (omit occupancy-style maps); ``active`` (optional) name ->
+        ``[B]`` bool — which episodes update which family this step
+        (mixed-phase fleets; omitted = all active, fastest path).
         """
+        if active is not None:
+            active = {name: jnp.asarray(active[name], jnp.bool_)
+                      for name in self.names}
         self.buffers = self._step(
             self.buffers, self.bins_x, self.bins_y, self.bins_z,
             jnp.asarray(positions, jnp.float32),
             jnp.asarray(yaws, jnp.float32),
             jnp.asarray(elevations, jnp.float32),
             jnp.asarray(depths, jnp.float32),
-            {k: jnp.asarray(v, jnp.int32) for k, v in classes.items()})
+            {k: jnp.asarray(v, jnp.int32) for k, v in classes.items()},
+            active)
 
     def view(self, name: str, episode: int) -> VoxelMap:
         """One episode's map as a standard VoxelMap (planner/matcher

@@ -91,6 +91,90 @@ def test_fleet_reset_isolates_episodes():
                            np.asarray(vm0.bins_x))
 
 
+def test_fleet_active_masks_gate_per_episode_per_family():
+    """Mixed-phase fleets: each (episode, family) pair updates only
+    when its active bit is set, exactly matching selective per-episode
+    updates."""
+    import dataclasses
+    fleet = _fleet()
+    active = {"semantic0": np.asarray([True, False, True]),
+              "occupancy": np.asarray([False, True, True])}
+    geos = {"semantic0": dataclasses.replace(
+                GEO, feature_size=taxonomy.NUM_CLASSES),
+            "occupancy": dataclasses.replace(GEO, feature_size=1)}
+    singles = {n: [VoxelMap.create(g, (2.0, 2.0, 0.8))
+                   for _ in range(B)] for n, g in geos.items()}
+
+    for step in range(2):
+        fr = _frames(20 + step)
+        fleet.update_batch(**fr, active=active)
+        for e in range(B):
+            for name in ("semantic0", "occupancy"):
+                if not active[name][e]:
+                    continue
+                cls = (fr["classes"]["semantic0"][e] if name ==
+                       "semantic0" else np.zeros((12, 12), np.int32))
+                singles[name][e] = singles[name][e].update_classes(
+                    fleet.rays, jnp.asarray(fr["positions"][e]),
+                    jnp.float32(fr["yaws"][e]),
+                    jnp.float32(fr["elevations"][e]),
+                    jnp.asarray(fr["depths"][e]),
+                    jnp.asarray(cls), use_kernel=False)
+
+    for e in range(B):
+        for name in ("semantic0", "occupancy"):
+            got = np.asarray(fleet.view(name, e).data)
+            want = np.asarray(singles[name][e].data)
+            if active[name][e]:
+                assert np.abs(want).sum() > 0
+            else:
+                assert np.abs(got).sum() == 0
+            np.testing.assert_allclose(got, want, atol=1e-6,
+                                       err_msg=f"{name}[{e}]")
+
+
+def test_plan_batch_matches_per_episode_plans():
+    """One vmapped dispatch plans every episode exactly as B separate
+    plan() calls (nav/grid.plan_batch, the fleet planning path)."""
+    import jax
+    import jax.numpy as jnp
+    from mass_tpu.nav import grid as NG
+
+    fleet = _fleet()
+    for s in range(2):
+        fleet.update_batch(**_frames(30 + s))
+
+    vms = [fleet.view("occupancy", e) for e in range(B)]
+    grids, agents, goals = [], [], []
+    rng = np.random.RandomState(0)
+    for e, vm in enumerate(vms):
+        nav = NG.navigable_area(vm, padding=1, z_start=0, z_stop=6)
+        grids.append(NG.build_nav_grid(nav, 0, 0, step=2))
+        agents.append(np.asarray([2.0, 2.0, 0.8], np.float32))
+        goals.append(rng.uniform(1.0, 3.0, 3).astype(np.float32))
+
+    kw = dict(step=2, padding=1, z_start=0, z_stop=6, threshold=0.0,
+              refresh=True)
+    singles = [NG.plan(g, vm, jnp.asarray(a), jnp.asarray(gl), **kw)
+               for g, vm, a, gl in zip(grids, vms, agents, goals)]
+
+    stack = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[(g, vm, jnp.asarray(a),
+                                      jnp.asarray(gl))
+                                     for g, vm, a, gl in
+                                     zip(grids, vms, agents, goals)])
+    batched = NG.plan_batch(*stack, **kw)
+
+    for e in range(B):
+        for k, (got, want) in enumerate(zip(
+                jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(lambda x: x[e], batched)),
+                jax.tree_util.tree_leaves(singles[e]))):
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want),
+                                          err_msg=f"ep {e} leaf {k}")
+
+
 def test_fleet_discard_ids_do_not_leak():
     """An all-invalid frame for episode 0 must not write into episode
     1's slab (discard re-bases to the global slot)."""
