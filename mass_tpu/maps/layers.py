@@ -238,7 +238,9 @@ class MapSet(dict):
         if fn is None:
             layers = [self[n] for n in names]
 
-            @jax.jit
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=0)
             def fn(vms, position, yaw, elevation, depth, auxes):
                 # one orient/bin/corner pass per camera+grid signature,
                 # shared by every one-hot map in the group (maps reset
