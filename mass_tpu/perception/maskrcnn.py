@@ -134,9 +134,11 @@ class FPN(nn.Module):
             for i, ci in enumerate(c)]
         tops = [laterals[-1]]
         for lat in laterals[-2::-1]:
-            up = tops[-1]
-            b, h, w, f = up.shape
-            up = jax.image.resize(up, (b, h * 2, w * 2, f), "nearest")
+            # resize to the lateral's actual shape (not a fixed 2x):
+            # odd stage sizes appear whenever image_size is not a
+            # multiple of 32, e.g. a 48px detector (detectron2 also
+            # interpolates to the lateral, fpn.py)
+            up = jax.image.resize(tops[-1], lat.shape, "nearest")
             tops.append(up + lat)
         tops = tops[::-1]
         outs = [
