@@ -232,7 +232,7 @@ class NavigationController:
         with self.timer.stage("planning"):
             # one fused device dispatch: mesh refresh + seeded BFS +
             # snaps
-            grid, dist, tgt, agent_cell, _ = NG.plan(
+            plan_out = NG.plan(
                 self.nav_grid, self._occupancy_vm(),
                 jnp.asarray(observations["position"], jnp.float32),
                 jnp.asarray(goal, jnp.float32),
@@ -240,6 +240,19 @@ class NavigationController:
                 z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
                 threshold=cfg.obstacle_threshold,
                 refresh=bool(update_navigation_grid))
+        return self.decide_from_plan(observations, goal, plan_out)
+
+    def decide_from_plan(self, observations: Dict, goal,
+                         plan_out) -> Optional[int]:
+        """The post-planning half of :meth:`get_action`: adopt the
+        planned mesh, backtrack the field into a path, apply the
+        heading rule.  Split out so fleet evaluators can compute every
+        episode's plan in ONE dispatch (nav/grid.plan_batch) and feed
+        the results here per episode."""
+        goal = np.asarray(goal, np.float32)
+        cfg = self.config
+        grid, dist, tgt, agent_cell, _ = plan_out
+        with self.timer.stage("planning"):
             self.nav_grid = grid
             path = self._path_from_field(
                 np.asarray(dist), np.asarray(tgt),

@@ -1,0 +1,369 @@
+"""Lockstep fleet evaluation: B full rearrangement episodes sharing
+one device dispatch per stage.
+
+The reference evaluates one episode per GPU process with no sharing
+(reference: agent.py:795-800); `RearrangementAgent` (agent/loop.py)
+keeps that per-episode shape.  This evaluator advances B grid-world
+episodes in lockstep instead:
+
+  * mapping: every live episode's frame folds into slab fleet maps in
+    ONE sorted-span kernel launch (parallel/fleet.FleetMaps, with
+    per-(episode, family) phase masks);
+  * planning: every live episode's fused mesh-refresh + BFS + snap runs
+    in ONE vmapped dispatch (nav/grid.plan_batch), grouped by whether
+    the episode's mission wants a mesh refresh this step;
+  * the per-episode FSM (phases, goal budgets, matching, grab/drop,
+    failed-action pruning) stays host-side and reuses
+    NavigationController's decide_from_plan, so behavior is
+    step-for-step IDENTICAL to the sequential agent given the same
+    per-episode rng streams (pinned by tests/test_evaluator.py).
+
+Supported configuration mirrors the evaluation path of the sequential
+agent: two-phase episodes, GT or sampled exploration goals, GT or
+predicted disagreement.  (Videos, one-phase mode, feature matching and
+the search policy stay on the sequential driver.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mass_tpu import taxonomy
+from mass_tpu.agent import oracle
+from mass_tpu.agent.loop import PHASE_ONE_MAPS, PHASE_TWO_MAPS
+from mass_tpu.config import AgentConfig
+from mass_tpu.env.gridworld import snake_case
+from mass_tpu.match.differences import predict_scene_differences
+from mass_tpu.nav import grid as NG
+from mass_tpu.nav.controller import NavigationController
+from mass_tpu.parallel.fleet import FleetMaps
+
+
+class _FleetLayerView:
+    """Minimal map-layer facade over one episode's fleet slab (what
+    NavigationController and the matcher read)."""
+
+    def __init__(self, fleet: FleetMaps, name: str, episode: int):
+        self._fleet = fleet
+        self._name = name
+        self._episode = episode
+
+    @property
+    def voxel_map(self):
+        return self._fleet.view(self._name, self._episode)
+
+
+class _Mission:
+    """One navigate-to-goal pursuit plus actions to run on arrival."""
+
+    def __init__(self, goal, arrival_steps: List[str],
+                 max_steps: int):
+        self.goal = np.asarray(goal, np.float32)
+        self.arrival_steps = arrival_steps
+        self.max_steps = max_steps
+        self.calls = 0          # planning calls so far (refresh cadence)
+
+
+WALK, UNSHUFFLE, REARRANGE, DONE = range(4)
+
+
+class _Episode:
+    def __init__(self, index: int, sampler, config: AgentConfig,
+                 fleet: FleetMaps, rng: np.random.RandomState):
+        self.index = index
+        self.sampler = sampler
+        self.config = config
+        self.rng = rng
+        self.phase = WALK
+        self.goals_used = 0
+        self.mission: Optional[_Mission] = None
+        self.objects_moved: set = set()
+        self.results: Optional[Dict] = None
+
+        self.task = sampler.next_task()
+        loc = self.task.agent_location()
+        fleet.reset(index, (loc.x, loc.z, loc.y))
+        maps = {name: _FleetLayerView(fleet, name, index)
+                for name in fleet.names}
+        nav_name = ("semantic0" if config.navigate_on_semantic
+                    else "occupancy")
+        self.controller = NavigationController(
+            self.task, nav_name, maps, config.nav, rng=rng)
+        self.task.step(self.task.action_names().index("look_down"))
+
+        self.gt_walk: List[np.ndarray] = []
+        self.gt_unshuffle: List[np.ndarray] = []
+        if config.ground_truth_semantic_search:
+            for cur, target in oracle.scene_difference_positions(
+                    self.task):
+                self.gt_walk.append(target)
+                self.gt_unshuffle.append(cur)
+        self.object_ids_to_move: set = set()
+
+    # ------------------------------------------------------------ fsm
+
+    def update_names(self) -> List[str]:
+        names = PHASE_ONE_MAPS if self.phase == WALK else PHASE_TWO_MAPS
+        return [n for n in names if n in self.controller.maps]
+
+    def _next_goal(self, gt_goals: List[np.ndarray]) -> np.ndarray:
+        # mirror agent/loop._next_goal exactly: the random sample is
+        # always drawn (it advances the rng) even when a GT goal wins
+        goal = self.controller.sample_navigation_goal({})
+        if gt_goals:
+            return gt_goals.pop(0)
+        return goal
+
+    def _enter_unshuffle(self) -> None:
+        self.task = self.sampler.next_task()
+        self.controller.task = self.task
+        self.task.step(self.task.action_names().index("look_down"))
+        self.object_ids_to_move = {
+            taxonomy.CLASS_NAMES.index(n)
+            for n in oracle.scene_difference_types(self.task)}
+        self.phase = UNSHUFFLE
+        self.goals_used = 0
+
+    def _match_missions(self, fleet: FleetMaps) -> bool:
+        """Run the matcher; queue grab/drop missions.  False = no more
+        differences (episode should finish)."""
+        cfg = self.config
+        candidates = (self.object_ids_to_move
+                      if cfg.ground_truth_disagreement
+                      else range(taxonomy.NUM_CLASSES))
+        cls, goals0, goals1 = predict_scene_differences(
+            fleet.view("semantic0", self.index),
+            fleet.view("semantic1", self.index),
+            None, None, self.objects_moved, candidates, cfg.match)
+        if cls is None:
+            return False
+        self.objects_moved.add(cls)
+
+        d = np.linalg.norm(
+            np.stack(goals0)[:, None] - np.stack(goals1)[None],
+            axis=-1)
+        order = np.argsort(-d.min(axis=1))
+        goals0 = [goals0[i] for i in order]
+        goals1 = [goals1[i] for i in order]
+
+        cname = taxonomy.CLASS_NAMES[cls]
+        pickable = taxonomy.ID_TO_PICKABLE[cls]
+        grab = (f"pickup_{snake_case(cname)}" if pickable
+                else f"open_by_type_{snake_case(cname)}")
+
+        self._queue = []
+        for goal0, goal1 in zip(goals0, goals1):
+            self._queue.append(_Mission(
+                goal1, [grab], self.config.nav.max_goal_steps))
+            if pickable:
+                self._queue.append(_Mission(
+                    goal0, ["drop_held_object_with_snap"],
+                    self.config.nav.max_goal_steps))
+        return True
+
+    def advance(self, fleet: FleetMaps) -> None:
+        """Ensure a current mission, moving the FSM forward as phases
+        and budgets demand.  May finish the episode."""
+        cfg = self.config
+        while self.mission is None and self.phase != DONE:
+            if self.task.is_done():
+                self._finish()
+                return
+            if self.phase == WALK:
+                if self.goals_used >= cfg.exploration_budget_one:
+                    self._enter_unshuffle()
+                    continue
+                self.goals_used += 1
+                self.mission = _Mission(
+                    self._next_goal(self.gt_walk), [],
+                    cfg.nav.max_goal_steps)
+            elif self.phase == UNSHUFFLE:
+                if self.goals_used >= cfg.exploration_budget_two:
+                    self.phase = REARRANGE
+                    self._queue: List[_Mission] = []
+                    continue
+                self.goals_used += 1
+                self.mission = _Mission(
+                    self._next_goal(self.gt_unshuffle), [],
+                    cfg.nav.max_goal_steps)
+            else:                                        # REARRANGE
+                if self._queue:
+                    self.mission = self._queue.pop(0)
+                    continue
+                if not self._match_missions(fleet):
+                    self._finish()
+                    return
+
+    def complete_mission(self) -> None:
+        """Arrival (or give-up): run the queued manipulation steps."""
+        names = self.task.action_names()
+        for step_name in self.mission.arrival_steps:
+            if self.task.is_done():
+                break
+            self.task.step(names.index(step_name))
+        self.mission = None
+
+    def _finish(self) -> None:
+        if not self.task.is_done():
+            self.task.step(self.task.action_names().index("done"))
+        results = self.task.metrics()
+        results["unshuffle/objects_moved"] = [
+            taxonomy.CLASS_NAMES[i] for i in self.objects_moved]
+        results["unshuffle/objects_moved_accuracy"] = [
+            1 if i in self.object_ids_to_move else 0
+            for i in self.objects_moved]
+        results["unshuffle/objects_to_move"] = [
+            taxonomy.CLASS_NAMES[i] for i in self.object_ids_to_move]
+        results["unshuffle/objects_to_move_accuracy"] = [
+            1 if i in self.objects_moved else 0
+            for i in self.object_ids_to_move]
+        self.results = results
+        self.phase = DONE
+        self.mission = None
+
+
+class FleetEvaluator:
+    """Run B episodes in lockstep over shared fleet maps.
+
+    Args:
+      config: agent configuration (two-phase evaluation surface).
+      samplers: one task sampler per episode (each yields that
+        episode's walkthrough then unshuffle task).
+      seeds: per-episode rng seeds (pose noise + goal sampling streams;
+        match these to reproduce sequential runs episode-for-episode).
+    """
+
+    def __init__(self, config: AgentConfig, samplers: List,
+                 seeds: Optional[List[int]] = None):
+        assert not config.one_phase, \
+            "one-phase episodes use the sequential driver"
+        assert not config.use_feature_matching, \
+            "feature matching uses the sequential driver"
+        self.config = config
+        B = len(samplers)
+        families = {"semantic0": taxonomy.NUM_CLASSES,
+                    "semantic1": taxonomy.NUM_CLASSES}
+        if not config.navigate_on_semantic:
+            families["occupancy"] = 1
+        geometry = dataclasses.replace(
+            _geometry_of(config), layout="cmajor")
+        self.fleet = FleetMaps(B, config.camera, geometry, families)
+        seeds = seeds or list(range(B))
+        self.episodes = [
+            _Episode(i, samplers[i], config, self.fleet,
+                     np.random.RandomState(seeds[i]))
+            for i in range(B)]
+
+    # ---------------------------------------------------------- tick
+
+    def _plan_groups(self, live: List[_Episode], obs: Dict[int, Dict]):
+        """Two batched dispatches: refresh-wanting episodes and the
+        rest (plan_batch's refresh flag is static per call)."""
+        cfg = self.config.nav
+        plans: Dict[int, tuple] = {}
+        for refresh in (True, False):
+            group = [ep for ep in live
+                     if _wants_refresh(ep, cfg) == refresh]
+            if not group:
+                continue
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[(ep.controller.nav_grid,
+                   ep.controller._occupancy_vm(),
+                   jnp.asarray(obs[ep.index]["position"], jnp.float32),
+                   jnp.asarray(ep.mission.goal, jnp.float32))
+                  for ep in group])
+            out = NG.plan_batch(
+                *stacked, step=cfg.step_size,
+                padding=cfg.obstacle_padding,
+                z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
+                threshold=cfg.obstacle_threshold, refresh=refresh)
+            for k, ep in enumerate(group):
+                plans[ep.index] = jax.tree_util.tree_map(
+                    lambda x: x[k], out)
+        return plans
+
+    def tick(self) -> bool:
+        """One lockstep step; returns False when every episode is done."""
+        for ep in self.episodes:
+            if ep.phase != DONE and ep.mission is None:
+                ep.advance(self.fleet)
+        live = [ep for ep in self.episodes if ep.phase != DONE]
+        if not live:
+            return False
+
+        # --- observations + pose, batched map update
+        B = len(self.episodes)
+        cam = self.config.camera
+        positions = np.zeros((B, 3), np.float32)
+        yaws = np.zeros((B,), np.float32)
+        elevations = np.zeros((B,), np.float32)
+        depths = np.full((B, cam.height, cam.width, 1), 1e9, np.float32)
+        classes = {"semantic0": np.zeros((B, cam.height, cam.width),
+                                         np.int32),
+                   "semantic1": np.zeros((B, cam.height, cam.width),
+                                         np.int32)}
+        active = {name: np.zeros((B,), bool)
+                  for name in self.fleet.names}
+        obs: Dict[int, Dict] = {}
+        for ep in live:
+            o = ep.task.get_observations()
+            ep.controller.process_observations(o, update_map=None)
+            obs[ep.index] = o
+            positions[ep.index] = o["position"]
+            yaws[ep.index] = o["yaw"]
+            elevations[ep.index] = o["elevation"]
+            depths[ep.index] = np.asarray(o["depth"], np.float32)
+            sem = np.asarray(o["semantic"])
+            if sem.ndim == 3:
+                sem = sem[..., 0]
+            for name in ep.update_names():
+                active[name][ep.index] = True
+                if name in classes:
+                    classes[name][ep.index] = sem
+        self.fleet.update_batch(positions, yaws, elevations, depths,
+                                classes, active=active)
+
+        # --- batched planning, per-episode decisions + env steps
+        plans = self._plan_groups(live, obs)
+        for ep in live:
+            ep.mission.calls += 1
+            action = ep.controller.decide_from_plan(
+                obs[ep.index], ep.mission.goal, plans[ep.index])
+            done = ep.task.is_done()
+            exhausted = (ep.mission.max_steps and
+                         ep.mission.calls > ep.mission.max_steps)
+            if done or action is None or exhausted:
+                ep.complete_mission()
+                if done:
+                    ep._finish()
+                continue
+            result = ep.task.step(action)
+            if not result.action_success:
+                ep.controller.failed_action(obs[ep.index], action)
+        return True
+
+    def run(self) -> List[Dict]:
+        while self.tick():
+            pass
+        return [ep.results for ep in self.episodes]
+
+
+def _geometry_of(config: AgentConfig):
+    from mass_tpu.config import MapGeometry
+    return MapGeometry(map_height=config.map_height,
+                       map_width=config.map_width,
+                       map_depth=config.map_depth,
+                       grid_resolution=config.grid_resolution)
+
+
+def _wants_refresh(ep: _Episode, nav_cfg) -> bool:
+    # mirror navigate_to's cadence: first plan of a mission refreshes,
+    # later ones every graph_update_interval steps
+    k = ep.mission.calls
+    return k == 0 or (k % nav_cfg.graph_update_interval == 0)

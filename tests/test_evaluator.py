@@ -1,0 +1,84 @@
+"""Lockstep fleet evaluation: B full episodes through shared batched
+mapping/planning must reproduce the sequential agent's behavior on the
+same seeds (parallel/evaluator.py)."""
+
+import numpy as np
+import pytest
+
+from mass_tpu.config import AgentConfig, CameraConfig, MatchConfig, \
+    NavConfig
+from mass_tpu.env.rearrange import GridWorldTaskSampler
+from mass_tpu.parallel.evaluator import FleetEvaluator
+
+CAM = CameraConfig(height=48, width=48)
+SEEDS = [2, 4]
+
+
+def _config(tmp_path):
+    return AgentConfig(
+        camera=CAM, map_height=80, map_width=80, map_depth=24,
+        grid_resolution=0.125,
+        nav=NavConfig(step_size=2, obstacle_padding=2,
+                      map_slice_start=0, map_slice_stop=12,
+                      graph_update_interval=5, max_goal_steps=60),
+        match=MatchConfig(contour_padding=0, confidence_threshold=0.1,
+                          distance_threshold=0.2, max_instances=8),
+        exploration_budget_one=3, exploration_budget_two=2,
+        ground_truth_semantic_search=True,
+        ground_truth_disagreement=True,
+        logdir=str(tmp_path), start_task=0, total_tasks=1,
+        every_tasks=1)
+
+
+def _sampler(seed):
+    return GridWorldTaskSampler([seed], camera=CAM, max_steps=250,
+                                num_objects=2, num_misplaced=1,
+                                num_opened=0)
+
+
+@pytest.mark.slow
+def test_fleet_evaluator_matches_sequential_agent(tmp_path):
+    cfg = _config(tmp_path)
+    fleet = FleetEvaluator(cfg, [_sampler(s) for s in SEEDS],
+                           seeds=[100 + s for s in SEEDS])
+    fleet_results = fleet.run()
+    assert all(r is not None for r in fleet_results)
+
+    from mass_tpu.agent.loop import RearrangementAgent
+    seq_results = []
+    for s in SEEDS:
+        agent = RearrangementAgent(
+            cfg, _sampler(s), rng=np.random.RandomState(100 + s))
+        seq_results.append(agent.run_task(0))
+
+    keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
+            "unshuffle/success", "unshuffle/num_fixed",
+            "unshuffle/num_initially_misplaced")
+    for got, want, s in zip(fleet_results, seq_results, SEEDS):
+        for k in keys:
+            assert got[k] == want[k], (s, k, got[k], want[k])
+        assert got["unshuffle/objects_moved"] == \
+            want["unshuffle/objects_moved"], s
+
+    # the fleet actually fixes objects on these seeds
+    assert np.mean([r["unshuffle/prop_fixed"]
+                    for r in fleet_results]) > 0
+
+
+@pytest.mark.slow
+def test_fleet_evaluator_mixed_completion(tmp_path):
+    """Episodes of different lengths: the fleet keeps ticking after the
+    shortest finishes, and every result materializes."""
+    import dataclasses
+    cfg = dataclasses.replace(_config(tmp_path),
+                              exploration_budget_one=1,
+                              exploration_budget_two=1)
+    evaluator = FleetEvaluator(
+        cfg, [_sampler(2), _sampler(7), _sampler(11)],
+        seeds=[1, 2, 3])
+    results = evaluator.run()
+    assert len(results) == 3
+    for r in results:
+        assert r is not None
+        assert "unshuffle/prop_fixed" in r
+        assert "unshuffle/objects_to_move" in r
