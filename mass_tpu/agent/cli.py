@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "perception.resnet.save_backbone_checkpoint "
                         "on a torchvision host)")
     p.add_argument("--videos", action="store_true")
+    p.add_argument("--fleet-size", type=int, default=1,
+                   help="run episodes in lockstep fleets of this size "
+                        "(gridworld backend, two-phase, no videos/"
+                        "feature-matching): one device dispatch per "
+                        "stage serves the whole fleet "
+                        "(parallel/evaluator.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu"],
@@ -261,6 +267,39 @@ def make_video_factory(args):
     return factory
 
 
+def run_fleet(args, config):
+    """Lockstep fleet evaluation over the task range: batches of
+    ``--fleet-size`` episodes share one device dispatch per stage."""
+    assert args.backend == "gridworld", \
+        "fleet evaluation drives the gridworld backend"
+    assert args.ground_truth_segmentation or args.detector_checkpoint \
+        is None, "fleet mode uses GT segmentation"
+    if not args.ground_truth_segmentation:
+        raise SystemExit("--fleet-size needs "
+                         "--ground-truth-segmentation (learned "
+                         "sensors use the sequential driver)")
+    from mass_tpu.agent import metrics as M
+    from mass_tpu.env.rearrange import GridWorldTaskSampler
+    from mass_tpu.parallel.evaluator import FleetEvaluator
+
+    seeds = [args.start_task + k * args.every_tasks
+             for k in range(args.total_tasks)]
+    all_results = []
+    for lo in range(0, len(seeds), args.fleet_size):
+        batch = seeds[lo:lo + args.fleet_size]
+        samplers = [GridWorldTaskSampler(
+            [s], camera=config.camera, max_steps=args.max_steps)
+            for s in batch]
+        evaluator = FleetEvaluator(
+            config, samplers, seeds=[args.seed + s for s in batch])
+        for s, result in zip(batch, evaluator.run()):
+            result["task_id"] = s
+            if config.logdir:
+                M.write_task_metrics(config.logdir, s, result)
+            all_results.append(result)
+    return all_results
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -298,6 +337,8 @@ def main(argv=None):
                     "torchvision host)")
 
     def run():
+        if args.fleet_size > 1:
+            return run_fleet(args, config)
         sampler = make_sampler(args, config)
         agent = RearrangementAgent(
             config, sampler, policy_params=policy,

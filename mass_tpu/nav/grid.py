@@ -28,7 +28,9 @@ import numpy as np
 from mass_tpu.core.voxelmap import VoxelMap
 from mass_tpu.ops.pool import max_pool2d_same
 
-INF = jnp.int32(1 << 28)
+# a numpy scalar, NOT jnp: module-level device ops initialize the
+# default backend at import, before any runtime platform selection
+INF = np.int32(1 << 28)
 
 
 def navigable_area(vm: VoxelMap, padding: int = 3, z_start: int = 0,

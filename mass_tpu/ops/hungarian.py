@@ -17,8 +17,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
-_INF = jnp.float32(1e30)
+# a numpy scalar, NOT jnp: module-level device ops initialize the
+# default backend at import, before any runtime platform selection
+_INF = _np.float32(1e30)
 
 
 def _solve_square(cost: jax.Array) -> jax.Array:

@@ -15,9 +15,12 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# numpy, NOT jnp: module-level device ops initialize the default
+# backend at import, before any runtime platform selection
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 class Bottleneck(nn.Module):

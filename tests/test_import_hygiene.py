@@ -1,0 +1,31 @@
+"""Importing the package must not initialize a JAX backend: the CLI's
+--platform switch (and any embedder's platform choice) runs after
+import, and the axon TPU plugin hangs hard when its tunnel is down —
+an import-time device op would take every CPU-only entry point down
+with it (this bit: ops/hungarian's module-level ``jnp.float32``)."""
+
+import subprocess
+import sys
+
+CODE = """
+import mass_tpu
+import mass_tpu.agent
+import mass_tpu.agent.cli
+import mass_tpu.parallel.evaluator
+import mass_tpu.parallel.fleet
+import mass_tpu.match
+import mass_tpu.nav.controller
+import mass_tpu.perception.resnet
+import mass_tpu.tools.analyze
+from jax._src import xla_bridge
+assert not xla_bridge._backends, (
+    "import initialized backends: %r" % (dict(xla_bridge._backends),))
+print("clean")
+"""
+
+
+def test_package_import_initializes_no_backend():
+    out = subprocess.run([sys.executable, "-c", CODE],
+                         capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "clean" in out.stdout
