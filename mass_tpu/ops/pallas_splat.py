@@ -53,7 +53,8 @@ def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
             rec_ids, rec_w, rec_cls,                 # [2*CHUNK] VMEM
             span_buf,                                # [F, SPAN] VMEM
             sems, span_sem,                          # DMA semaphores
-            *, num_features: int, interpolation_weight: float):
+            *, num_features: int, interpolation_weight: float,
+            fast_bf16: bool = False):
     """Grid step = one voxel-id span.  Untouched spans are skipped
     entirely (the map output aliases the input, so skipped spans keep
     their contents with zero HBM traffic).
@@ -84,14 +85,14 @@ def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
             starts_ref, ids_ref, w_ref, cls_ref, map_hbm_out, rec_ids,
             rec_w, rec_cls, span_buf, sems, span_sem, i, start, end,
             count, aligned, base, load, num_features,
-            interpolation_weight)
+            interpolation_weight, fast_bf16)
 
 
 def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
                           map_hbm_out, rec_ids, rec_w, rec_cls,
                           span_buf, sems, span_sem, i, start, end,
                           count, aligned, base, load, num_features,
-                          interpolation_weight):
+                          interpolation_weight, fast_bf16=False):
     n_chunks = jnp.where(count > 0,
                          (end - aligned + CHUNK - 1) // CHUNK, 0)
     stride = num_features + 2
@@ -175,6 +176,12 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
                     baug = jnp.where(
                         f_iota == (row0 + num_features + 1)[:, None],
                         w2[:, None], baug)
+                    if fast_bf16:
+                        # opt-in: bf16 matmul inputs, f32 accumulation
+                        # (~2e-3 relative map movement; the MXU runs
+                        # bf16 several times faster than f32)
+                        baug = baug.astype(jnp.bfloat16)
+                        onehot = onehot.astype(jnp.bfloat16)
                     acc[:] += jax.lax.dot_general(
                         baug, onehot, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -664,15 +671,20 @@ def splat_onehot_multi_cmajor(datas, ids: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnums=(4,),
-                   static_argnames=("interpret",))
+                   static_argnames=("interpret", "fast_bf16"))
 def splat_onehot_cmajor(data: jax.Array, ids: jax.Array,
                         weights: jax.Array, classes: jax.Array,
                         interpolation_weight: float = 0.5,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        fast_bf16: bool = False) -> jax.Array:
     """One-hot trilinear splat into a channel-major ``[F, V]`` map.
 
     Same semantics as ops.scatter.apply_onehot_cmajor; the map's V must
     be a multiple of SPAN (MapGeometry default sizes are).
+
+    ``fast_bf16`` opts INTO bf16 matmul inputs with f32 accumulation:
+    per-update map movement vs the f32 path is ~1e-3-2e-3 relative
+    (outside the default reference-parity budget — hence opt-in).
     """
     num_features, num_voxels = data.shape
     assert num_voxels % SPAN == 0, (
@@ -711,7 +723,8 @@ def splat_onehot_cmajor(data: jax.Array, ids: jax.Array,
 
     return pl.pallas_call(
         functools.partial(_kernel, num_features=num_features,
-                          interpolation_weight=interpolation_weight),
+                          interpolation_weight=interpolation_weight,
+                          fast_bf16=fast_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
         input_output_aliases={4: 0},  # map input (after prefetch) -> out

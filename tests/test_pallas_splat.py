@@ -189,6 +189,27 @@ def test_frames_kernel_matches_sequential_updates():
     np.testing.assert_allclose(np.asarray(vm_scan.data), b, atol=1e-5)
 
 
+def test_fast_bf16_mode_close_but_not_exact():
+    """The opt-in bf16 matmul path tracks the f32 kernel to ~bf16
+    rounding (and actually differs — proving the fast path engaged)."""
+    rng = np.random.RandomState(6)
+    vm = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    data = jnp.asarray(rng.rand(GEO.feature_size,
+                                GEO.num_voxels).astype(np.float32))
+    classes = jnp.asarray(rng.randint(
+        0, GEO.feature_size, (CAM["h"] * CAM["w"],)).astype(np.int32))
+    ids, w = _random_points(rng, vm)
+
+    exact = PS.splat_onehot_cmajor(data, ids, w, classes, 0.5,
+                                   interpret=True)
+    fast = PS.splat_onehot_cmajor(data, ids, w, classes, 0.5,
+                                  interpret=True, fast_bf16=True)
+    d = np.abs(np.asarray(fast) - np.asarray(exact))
+    scale = np.abs(np.asarray(exact)).max()
+    assert d.max() > 0                      # the fast path is distinct
+    assert d.max() / scale < 2e-2, d.max() / scale
+
+
 def test_kernel_occupancy_single_channel():
     geo = dataclasses.replace(GEO, feature_size=1)
     rng = np.random.RandomState(2)
