@@ -110,7 +110,29 @@ def measure_torch_cpu():
     return 1.0 / float(np.median(times))
 
 
+def _tunnel_alive(port: int = 8113, timeout_s: float = 5.0) -> bool:
+    """The axon TPU relay serves on local ports; jax backend init HANGS
+    indefinitely when the relay is down, so probe the socket first and
+    fail fast with a readable error instead."""
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout_s):
+            return True
+    except OSError:
+        return False
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS", "axon") == "axon" and \
+            not _tunnel_alive():
+        print(json.dumps({
+            "metric": "semantic voxel-map update throughput "
+                      "(224x224 RGB-D -> 384x384x96x54)",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": "axon TPU tunnel unreachable (relay on "
+                     "127.0.0.1:8113 down) - benchmark not run",
+        }))
+        raise SystemExit(1)
     tpu_fps = measure_tpu()
     cpu_fps = measure_torch_cpu()
     print(json.dumps({
