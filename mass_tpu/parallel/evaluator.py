@@ -27,6 +27,7 @@ the search policy stay on the sequential driver.)
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -258,12 +259,80 @@ class FleetEvaluator:
             _Episode(i, samplers[i], config, self.fleet,
                      np.random.RandomState(seeds[i]))
             for i in range(B)]
+        self._planner = self._make_fleet_planner()
 
     # ---------------------------------------------------------- tick
 
+    def _make_fleet_planner(self):
+        """Jitted group planner reading episode map slabs straight out
+        of the fleet buffer — stacking per-episode VoxelMaps on the
+        host every tick copies the full maps and made the fleet SLOWER
+        than the sequential agent (measured 3.3x on CPU)."""
+        fleet = self.fleet
+        nav_name = ("semantic0" if self.config.navigate_on_semantic
+                    else "occupancy")
+        geometry = fleet._episode_geoms[nav_name]
+        V = fleet._episode_voxels
+        B = fleet.batch
+        cfg = self.config.nav
+        from mass_tpu.core.voxelmap import VoxelMap
+
+        def _one(grid, data, bx, by, bz, agent, goal, refresh):
+            vm = VoxelMap(data=data, bins_x=bx, bins_y=by,
+                          bins_z=bz, geometry=geometry)
+            return NG.plan(
+                grid, vm, agent, goal, step=cfg.step_size,
+                padding=cfg.obstacle_padding,
+                z_start=cfg.map_slice_start,
+                z_stop=cfg.map_slice_stop,
+                threshold=cfg.obstacle_threshold, refresh=refresh)
+
+        @jax.jit
+        def plan_group_refresh(grids, buffer, bins_x, bins_y, bins_z,
+                               idx, agents, goals):
+            slabs = buffer.reshape(buffer.shape[0], B, V)[
+                :, idx].transpose(1, 0, 2)            # [G, F, V]
+            return jax.vmap(
+                functools.partial(_one, refresh=True))(
+                    grids, slabs, bins_x[idx], bins_y[idx],
+                    bins_z[idx], agents, goals)
+
+        @jax.jit
+        def plan_group_norefresh(grids, bins_x, bins_y, bins_z, idx,
+                                 agents, goals):
+            # the non-refresh plan never reads the map (mesh + bins
+            # only), so skip the slab gather entirely — most ticks are
+            # non-refresh (graph_update_interval), and gathering the
+            # occupancy slabs per tick dominated fleet wall time
+            dummy = jnp.zeros((len(idx), 1, 1), jnp.float32)
+            return jax.vmap(
+                functools.partial(_one, refresh=False))(
+                    grids, dummy, bins_x[idx], bins_y[idx],
+                    bins_z[idx], agents, goals)
+
+        def planner(group, obs, refresh):
+            grids = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[ep.controller.nav_grid for ep in group])
+            idx = jnp.asarray([ep.index for ep in group], jnp.int32)
+            agents = jnp.asarray(
+                [obs[ep.index]["position"] for ep in group],
+                jnp.float32)
+            goals = jnp.asarray([ep.mission.goal for ep in group],
+                                jnp.float32)
+            if refresh:
+                return plan_group_refresh(
+                    grids, fleet.buffers[nav_name], fleet.bins_x,
+                    fleet.bins_y, fleet.bins_z, idx, agents, goals)
+            return plan_group_norefresh(
+                grids, fleet.bins_x, fleet.bins_y, fleet.bins_z, idx,
+                agents, goals)
+
+        return planner
+
     def _plan_groups(self, live: List[_Episode], obs: Dict[int, Dict]):
         """Two batched dispatches: refresh-wanting episodes and the
-        rest (plan_batch's refresh flag is static per call)."""
+        rest (the jitted plan's refresh flag is static per call)."""
         cfg = self.config.nav
         plans: Dict[int, tuple] = {}
         for refresh in (True, False):
@@ -271,18 +340,7 @@ class FleetEvaluator:
                      if _wants_refresh(ep, cfg) == refresh]
             if not group:
                 continue
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs),
-                *[(ep.controller.nav_grid,
-                   ep.controller._occupancy_vm(),
-                   jnp.asarray(obs[ep.index]["position"], jnp.float32),
-                   jnp.asarray(ep.mission.goal, jnp.float32))
-                  for ep in group])
-            out = NG.plan_batch(
-                *stacked, step=cfg.step_size,
-                padding=cfg.obstacle_padding,
-                z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
-                threshold=cfg.obstacle_threshold, refresh=refresh)
+            out = self._planner(group, obs, refresh)
             for k, ep in enumerate(group):
                 plans[ep.index] = jax.tree_util.tree_map(
                     lambda x: x[k], out)
