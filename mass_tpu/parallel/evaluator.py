@@ -173,6 +173,14 @@ class _Episode:
         cfg = self.config
         while self.mission is None and self.phase != DONE:
             if self.task.is_done():
+                if self.phase == WALK:
+                    # a done walkthrough task (e.g. max_steps exhausted)
+                    # ends only the walkthrough: the sequential agent
+                    # proceeds to the unshuffle task unconditionally
+                    # (agent/loop.py run_task: _explore exits on done,
+                    # then the phase switch runs)
+                    self._enter_unshuffle()
+                    continue
                 self._finish()
                 return
             if self.phase == WALK:
@@ -398,7 +406,10 @@ class FleetEvaluator:
                          ep.mission.calls > ep.mission.max_steps)
             if done or action is None or exhausted:
                 ep.complete_mission()
-                if done:
+                # a done walkthrough task is a phase switch, not an
+                # episode end — the next tick's advance() enters the
+                # unshuffle phase (mirrors agent/loop.py run_task)
+                if done and ep.phase != WALK:
                     ep._finish()
                 continue
             result = ep.task.step(action)

