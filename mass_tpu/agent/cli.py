@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--every-tasks", type=int, default=1)
     p.add_argument("--total-tasks", type=int, default=50)
 
+    # grid-world scene content (ignored by the THOR backend, whose
+    # scenes come from the challenge dataset)
+    p.add_argument("--num-objects", type=int, default=5)
+    p.add_argument("--num-misplaced", type=int, default=2)
+    p.add_argument("--num-opened", type=int, default=1)
+    p.add_argument("--duplicate-class-pairs", type=int, default=0,
+                   help="same-class same-size tinted object pairs with "
+                        "one member misplaced: the size-ambiguous "
+                        "scenario --use-feature-matching resolves")
+
     p.add_argument("--ground-truth-segmentation", action="store_true")
     p.add_argument("--detector-checkpoint", type=str, default=None,
                    help="learned-segmentation weights used when "
@@ -219,9 +229,13 @@ def make_sampler(args, config: AgentConfig):
         seeds = range(args.start_task,
                       args.start_task +
                       args.total_tasks * args.every_tasks + 1)
-        sampler = GridWorldTaskSampler(list(seeds), camera=config.camera,
-                                       max_steps=args.max_steps,
-                                       one_phase=args.one_phase)
+        sampler = GridWorldTaskSampler(
+            list(seeds), camera=config.camera,
+            max_steps=args.max_steps, one_phase=args.one_phase,
+            num_objects=args.num_objects,
+            num_misplaced=args.num_misplaced,
+            num_opened=args.num_opened,
+            duplicate_class_pairs=args.duplicate_class_pairs)
     sensor = load_segmentation_sensor(args)
     if sensor is not None:
         from mass_tpu.perception.segmentation import SegmentationSampler
@@ -288,7 +302,11 @@ def run_fleet(args, config):
     for lo in range(0, len(seeds), args.fleet_size):
         batch = seeds[lo:lo + args.fleet_size]
         samplers = [GridWorldTaskSampler(
-            [s], camera=config.camera, max_steps=args.max_steps)
+            [s], camera=config.camera, max_steps=args.max_steps,
+            num_objects=args.num_objects,
+            num_misplaced=args.num_misplaced,
+            num_opened=args.num_opened,
+            duplicate_class_pairs=args.duplicate_class_pairs)
             for s in batch]
         evaluator = FleetEvaluator(
             config, samplers, seeds=[args.seed + s for s in batch])

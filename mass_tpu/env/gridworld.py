@@ -42,6 +42,11 @@ class ObjectInstance:
     size: np.ndarray           # (sx, sy, sz) meters
     openness: Optional[float] = None
     broken: bool = False
+    # per-instance RGB modulation of the class color (THOR objects of
+    # one class differ in texture/material; this is the grid-world
+    # analogue that gives appearance-based matching something the
+    # semantic channel cannot see)
+    tint: Optional[np.ndarray] = None
 
     @property
     def aabb(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -96,7 +101,10 @@ class GridWorld:
         return GridWorld(tuple(self.room_size),
                          [dataclasses.replace(
                              o, position=o.position.copy(),
-                             size=o.size.copy()) for o in self.objects])
+                             size=o.size.copy(),
+                             tint=(None if o.tint is None
+                                   else o.tint.copy()))
+                          for o in self.objects])
 
     def static_boxes(self):
         """Floor, ceiling and four walls as (lo, hi, class 0)."""
@@ -144,6 +152,7 @@ class GridWorld:
 
         best_t = np.full(world_dirs.shape[0], np.inf)
         best_cls = np.zeros(world_dirs.shape[0], np.int32)
+        best_obj = np.full(world_dirs.shape[0], -1, np.int32)
 
         def world_box(lo_sim, hi_sim):
             # sim (x, y, z) -> world (x, z, y)
@@ -157,19 +166,29 @@ class GridWorld:
             closer = t < best_t
             best_t = np.where(closer, t, best_t)
             best_cls = np.where(closer, 0, best_cls)
+            best_obj = np.where(closer, -1, best_obj)
 
-        for obj in self.objects:
+        for k, obj in enumerate(self.objects):
             lo, hi = world_box(*obj.aabb)
             t = _ray_aabb_planar(origin, world_dirs, lo, hi)
             closer = t < best_t
             best_t = np.where(closer, t, best_t)
             best_cls = np.where(closer, obj.class_id, best_cls)
+            best_obj = np.where(closer, k, best_obj)
 
         depth = np.where(np.isfinite(best_t), best_t, 0.0)
         depth = depth.reshape(h, w, 1).astype(np.float32)
         semantic = best_cls.reshape(h, w, 1).astype(np.int32)
         colors = taxonomy.class_colors_array()
         rgb = colors[semantic[..., 0]].astype(np.float32)
+        # per-instance appearance: modulate the class color by the
+        # instance tint (semantic ids stay class-level, so only
+        # RGB-derived features can tell same-class instances apart)
+        tints = np.ones((len(self.objects) + 1, 3), np.float32)
+        for k, obj in enumerate(self.objects):
+            if obj.tint is not None:
+                tints[k] = obj.tint
+        rgb = rgb * tints[best_obj.reshape(h, w)]
         return rgb, depth, semantic
 
     # -------------------------------------------------------- physics

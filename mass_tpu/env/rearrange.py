@@ -309,9 +309,18 @@ def generate_episode(seed: int, num_objects: int = 5,
                      num_misplaced: int = 2, num_opened: int = 1,
                      room: Tuple[float, float, float] = (6.0, 2.5, 6.0),
                      camera: CameraConfig = CameraConfig(),
-                     max_steps: int = 250) -> RearrangeEpisode:
+                     max_steps: int = 250,
+                     duplicate_class_pairs: int = 0,
+                     ) -> RearrangeEpisode:
     """Random solvable episode: objects on the floor, a subset displaced
-    (and/or openness-changed) in the unshuffle phase."""
+    (and/or openness-changed) in the unshuffle phase.
+
+    ``duplicate_class_pairs`` adds K pairs of SAME-class, SAME-size
+    objects with distinct per-instance tints, one member of each pair
+    misplaced — the scenario where size-based instance matching is
+    ambiguous and only appearance features can pair instances across
+    phases (the reference's ``--use-feature-matching`` win,
+    reference: README.md:39, mass/utils/experimentation.py:261-273)."""
     rng = np.random.RandomState(seed)
     sx, _, sz = room
 
@@ -341,14 +350,35 @@ def generate_episode(seed: int, num_objects: int = 5,
             position=pos, size=np.asarray(size),
             openness=0.0 if openable else None))
 
+    # ambiguous same-class pairs: identical size, distinct tints
+    dup_start = len(classes)
+    if duplicate_class_pairs:
+        remaining = [c for c in pickable_ids if c not in classes]
+        dup_classes = rng.choice(remaining, duplicate_class_pairs,
+                                 replace=False)
+        for j, cls in enumerate(dup_classes):
+            size = rng.uniform(0.3, 0.5, 3)
+            for member in range(2):
+                tint = np.full(3, 0.35 + 0.6 * member, np.float32)
+                pos = random_spot(goal_world, size)
+                goal_world.objects.append(ObjectInstance(
+                    name=(f"{taxonomy.CLASS_NAMES[int(cls)]}_dup"
+                          f"{j}_{member}"),
+                    class_id=int(cls), position=pos,
+                    size=size.copy(), tint=tint))
+
     start_world = goal_world.clone()
     moved = rng.choice(num_objects, min(num_misplaced, num_objects),
                        replace=False)
     for idx in moved:
         obj = start_world.objects[int(idx)]
         obj.position = random_spot(start_world, obj.size)
-    for obj in start_world.objects[num_objects:]:
+    for obj in start_world.objects[num_objects:dup_start]:
         obj.openness = 1.0  # openables start open; goal is closed
+    # misplace one member of each duplicate pair (rng-chosen)
+    for j in range(duplicate_class_pairs):
+        obj = start_world.objects[dup_start + 2 * j + int(rng.randint(2))]
+        obj.position = random_spot(start_world, obj.size)
 
     # agent start: any free cell
     for _ in range(200):

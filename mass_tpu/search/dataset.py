@@ -1,0 +1,167 @@
+"""Collect training data for the semantic-search policy.
+
+The reference ships ``policy.pth`` pre-trained and only the goal-cell
+label dump (reference: get_search_labels.py:98-132); the data the policy
+was trained ON — partial top-down semantic maps paired with those goal
+cells — is not reconstructible from the repo.  This collector closes
+that gap: it explores each scene exactly the way the agent does
+(GT goals first, then random, mirroring agent/loop._next_goal), and
+after every completed goal snapshots the z-collapsed semantic map as a
+training input for the labeled misplaced-object cells.
+
+Walkthrough snapshots pair with walkthrough-position labels (where
+misplaced objects BELONG — what the policy should steer toward during
+phase one), unshuffle snapshots with current-position labels (where
+they ARE), matching the two inference call sites
+(reference: agent.py:328-339 on sem_map0, :375-415 on sem_map1).
+
+    python -m mass_tpu.search.dataset --logdir /tmp/search-data \
+        --total-tasks 80
+
+Each task writes ``task-{id}.npz`` with float16 ``tops{0,1}``
+``[G, H, W, C]`` and int32 ``cells{0,1}`` ``[K, 2]`` (x, y map coords);
+mass_tpu.search.train expands the G x K cross product.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import numpy as np
+
+from mass_tpu import taxonomy
+from mass_tpu.agent import oracle
+from mass_tpu.config import AgentConfig, CameraConfig, MatchConfig, \
+    NavConfig
+from mass_tpu.maps import MapSet, OccupancyMap, SemanticMap
+from mass_tpu.nav.controller import NavigationController
+
+
+def collect_task(sampler, config: AgentConfig,
+                 rng: np.random.RandomState) -> dict:
+    """Run one two-phase exploration; return snapshot/label arrays."""
+    cfg = config
+    cam = cfg.camera
+    geo_kw = dict(map_height=cfg.map_height, map_width=cfg.map_width,
+                  map_depth=cfg.map_depth,
+                  grid_resolution=cfg.grid_resolution)
+    maps = MapSet(
+        semantic0=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw),
+        semantic1=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw),
+        occupancy=OccupancyMap(cam, **geo_kw))
+
+    walkthrough = sampler.next_task()
+    loc = walkthrough.agent_location()
+    maps.reset_all((loc.x, loc.z, loc.y))
+    controller = NavigationController(walkthrough, "occupancy", maps,
+                                      cfg.nav, rng=rng)
+    walkthrough.step(walkthrough.action_names().index("look_down"))
+
+    vm = maps["semantic0"].voxel_map
+    cells_walk, cells_unshuffle = [], []
+    gt_walk, gt_unshuffle = [], []
+    for current, target in oracle.scene_difference_positions(
+            walkthrough):
+        cells_walk.append(
+            np.asarray(vm.world_to_map(target))[:2].astype(np.int32))
+        cells_unshuffle.append(
+            np.asarray(vm.world_to_map(current))[:2].astype(np.int32))
+        gt_walk.append(target)
+        gt_unshuffle.append(current)
+
+    def explore(task, budget, semantic_name, update_names,
+                gt_goals: List[np.ndarray]) -> List[np.ndarray]:
+        tops = []
+        gt_goals = list(gt_goals)
+        num_goals = 0
+        while not task.is_done() and num_goals < budget:
+            num_goals += 1
+            goal = controller.sample_navigation_goal({})
+            if gt_goals:
+                goal = gt_goals.pop(0)
+            for _ in controller.navigate_to(goal,
+                                            update_map=update_names):
+                pass
+            tops.append(np.asarray(
+                maps[semantic_name].voxel_map.max_over_depth(),
+                np.float16))
+        return tops
+
+    tops0 = explore(walkthrough, cfg.exploration_budget_one,
+                    "semantic0", ["occupancy", "semantic0"], gt_walk)
+
+    unshuffle = sampler.next_task()
+    controller.task = unshuffle
+    unshuffle.step(unshuffle.action_names().index("look_down"))
+    tops1 = explore(unshuffle, cfg.exploration_budget_two,
+                    "semantic1", ["semantic1"], gt_unshuffle)
+
+    def pack(tops):
+        if not tops:
+            return np.zeros((0, cfg.map_height, cfg.map_width,
+                             taxonomy.NUM_CLASSES), np.float16)
+        return np.stack(tops)
+
+    def pack_cells(cells):
+        if not cells:
+            return np.zeros((0, 2), np.int32)
+        return np.stack(cells)
+
+    return dict(tops0=pack(tops0), cells0=pack_cells(cells_walk),
+                tops1=pack(tops1),
+                cells1=pack_cells(cells_unshuffle))
+
+
+def small_scene_config(camera_size: int = 48) -> AgentConfig:
+    """The round-2 experiment geometry: camera 48, 80x80x24 @ 0.125 m
+    (docs/experiments.md) — one episode fits a single-CPU host."""
+    return AgentConfig(
+        camera=CameraConfig(height=camera_size, width=camera_size),
+        map_height=80, map_width=80, map_depth=24,
+        grid_resolution=0.125,
+        nav=NavConfig(step_size=2, obstacle_padding=2,
+                      map_slice_start=0, map_slice_stop=12,
+                      graph_update_interval=5, max_goal_steps=60),
+        match=MatchConfig(contour_padding=0, confidence_threshold=0.1,
+                          distance_threshold=0.2, max_instances=8),
+        exploration_budget_one=3, exploration_budget_two=2)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("search-policy dataset collector")
+    p.add_argument("--logdir", type=str, required=True)
+    p.add_argument("--start-task", type=int, default=0)
+    p.add_argument("--total-tasks", type=int, default=80)
+    p.add_argument("--camera-size", type=int, default=48)
+    p.add_argument("--max-steps", type=int, default=250)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from mass_tpu.env.rearrange import GridWorldTaskSampler
+
+    config = small_scene_config(args.camera_size)
+    os.makedirs(args.logdir, exist_ok=True)
+    for task_id in range(args.start_task,
+                         args.start_task + args.total_tasks):
+        out = os.path.join(args.logdir, f"task-{task_id}.npz")
+        if os.path.exists(out):
+            continue
+        sampler = GridWorldTaskSampler(
+            [task_id], camera=config.camera, max_steps=args.max_steps,
+            num_objects=2, num_misplaced=1, num_opened=0)
+        rng = np.random.RandomState(args.seed + task_id)
+        data = collect_task(sampler, config, rng)
+        np.savez_compressed(out, **data)
+        print(f"task {task_id}: {len(data['tops0'])}+"
+              f"{len(data['tops1'])} snapshots, "
+              f"{len(data['cells0'])} labels", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,3 +65,136 @@ def train_step(state: TrainState, tx: optax.GradientTransformation,
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
+
+
+# ---------------------------------------------------------------------
+# dataset + fit driver (the trainer the reference never shipped)
+# ---------------------------------------------------------------------
+
+
+def load_dataset(logdir: str):
+    """Load every ``task-*.npz`` written by mass_tpu.search.dataset into
+    (tops [N, H, W, C] float16, cells [N, 2] int32, task_ids [N]) — one
+    sample per (snapshot, labeled goal cell) pair, walkthrough and
+    unshuffle phases pooled (the same policy serves both inference call
+    sites, reference: agent.py:328-339 / :375-415)."""
+    import glob
+    import os
+    import re
+
+    import numpy as np
+
+    tops, cells, task_ids = [], [], []
+    for path in sorted(glob.glob(os.path.join(logdir, "task-*.npz"))):
+        tid = int(re.search(r"task-(\d+)\.npz", path).group(1))
+        with np.load(path) as z:
+            for phase in ("0", "1"):
+                t, c = z[f"tops{phase}"], z[f"cells{phase}"]
+                for i in range(len(t)):
+                    for j in range(len(c)):
+                        tops.append(t[i])
+                        cells.append(c[j])
+                        task_ids.append(tid)
+    assert tops, f"no task-*.npz files under {logdir}"
+    return (np.stack(tops), np.stack(cells).astype(np.int32),
+            np.asarray(task_ids))
+
+
+def goal_distance(params, top_down, goal_cells) -> "jax.Array":
+    """Mean L2 map-cell distance from the policy's argmax cell to the
+    labeled goal — the geometric quality the NLL optimizes indirectly."""
+    logits = goal_logits(params, top_down)
+    w = top_down.shape[2]
+    idx = jnp.argmax(logits, axis=-1)
+    xy = jnp.stack([idx % w, idx // w], axis=-1).astype(jnp.float32)
+    return jnp.mean(jnp.linalg.norm(
+        xy - goal_cells.astype(jnp.float32), axis=-1))
+
+
+def fit(data_dir: str, out_path: str, steps: int = 600,
+        batch_size: int = 8, learning_rate: float = 3e-4,
+        val_fraction: float = 0.15, seed: int = 0,
+        log_every: int = 50):
+    """Train the search policy on collected (top-down, goal-cell) pairs
+    and save a flax checkpoint loadable by the agent CLI's
+    ``--policy-checkpoint``.  Splits train/val BY TASK so validation
+    scenes are unseen."""
+    import numpy as np
+
+    from mass_tpu.utils.checkpoint import save_pytree
+
+    tops, cells, task_ids = load_dataset(data_dir)
+    uniq = np.unique(task_ids)
+    rng = np.random.RandomState(seed)
+    rng.shuffle(uniq)
+    n_val = max(1, int(len(uniq) * val_fraction))
+    val_tasks = set(uniq[:n_val].tolist())
+    val_mask = np.isin(task_ids, list(val_tasks))
+    tr_tops, tr_cells = tops[~val_mask], cells[~val_mask]
+    va_tops, va_cells = tops[val_mask], cells[val_mask]
+    h, w, c = tops.shape[1:]
+    print(f"dataset: {len(tr_tops)} train / {len(va_tops)} val samples "
+          f"({len(uniq)} tasks, map {h}x{w}x{c})", flush=True)
+
+    state, tx = create_train_state(jax.random.PRNGKey(seed), h, w, c,
+                                   learning_rate)
+    step_fn = jax.jit(lambda s, t, g: train_step(s, tx, t, g))
+    eval_nll = jax.jit(goal_cross_entropy)
+    eval_dist = jax.jit(goal_distance)
+
+    def val_metrics(params):
+        nll, dist, n = 0.0, 0.0, 0
+        for i in range(0, len(va_tops), batch_size):
+            t = jnp.asarray(va_tops[i:i + batch_size], jnp.float32)
+            g = jnp.asarray(va_cells[i:i + batch_size])
+            k = len(t)
+            nll += float(eval_nll(params, t, g)) * k
+            dist += float(eval_dist(params, t, g)) * k
+            n += k
+        return nll / n, dist / n
+
+    for step in range(steps):
+        idx = rng.randint(0, len(tr_tops), batch_size)
+        t = jnp.asarray(tr_tops[idx], jnp.float32)
+        g = jnp.asarray(tr_cells[idx])
+        state, loss = step_fn(state, t, g)
+        if (step + 1) % log_every == 0 or step == 0:
+            vn, vd = val_metrics(state.params)
+            print(f"step {step + 1}/{steps}: train NLL "
+                  f"{float(loss):.3f}  val NLL {vn:.3f}  "
+                  f"val argmax-dist {vd:.1f} cells", flush=True)
+
+    vn, vd = val_metrics(state.params)
+    # chance references: uniform NLL = log(H*W); random-cell expected
+    # distance ~ 0.52 * map size for uniform draws on a square
+    print(f"final: val NLL {vn:.3f} (uniform {np.log(h * w):.3f})  "
+          f"val argmax-dist {vd:.1f} cells", flush=True)
+    save_pytree(out_path, state.params)
+    print(f"saved policy checkpoint to {out_path}", flush=True)
+    return vn, vd
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser("semantic-search policy trainer")
+    p.add_argument("--data", type=str, required=True,
+                   help="dir of task-*.npz from mass_tpu.search.dataset")
+    p.add_argument("--out", type=str, required=True,
+                   help="checkpoint output path (orbax dir)")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--learning-rate", type=float, default=3e-4)
+    p.add_argument("--val-fraction", type=float, default=0.15)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    fit(args.data, args.out, steps=args.steps,
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        val_fraction=args.val_fraction, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,8 @@ visualize_found_objects.py, visualize_remainder.py) as subcommands over
 one loader:
 
     python -m mass_tpu.tools.analyze metrics  DIR [DIR...]
-    python -m mass_tpu.tools.analyze ablation DIR [DIR...] --out x.png
+    python -m mass_tpu.tools.analyze ablation DIR [DIR...] \
+        --param exploration_budget_one --out curves.png
     python -m mass_tpu.tools.analyze pr       DIR [DIR...]
     python -m mass_tpu.tools.analyze found    DIR --out found.png
     python -m mass_tpu.tools.analyze failures DIR [DIR...]
@@ -136,6 +137,65 @@ def found_objects_curves(logdir: str, radius: float = 1.0):
     return curves
 
 
+def sweep_value(logdir: str, param: str):
+    """The swept parameter's value for a logdir, read from the
+    hyperparameter dump the CLI writes (``params-*.json``,
+    agent/cli.py — keys are argparse dest names, e.g.
+    ``exploration_budget_one``, ``detection_threshold``)."""
+    for path in sorted(glob.glob(os.path.join(logdir,
+                                              "params-*.json"))):
+        with open(path) as f:
+            params = json.load(f)
+        if param in params:
+            return params[param]
+    return None
+
+
+def ablation_table(logdirs, param: str):
+    """Group logdirs by swept-parameter value and aggregate each
+    group's task results into metric mean ± CI — the curve data of the
+    reference's sweep plots (reference:
+    visualize_budget_ablation.py:88-90, visualize_detector_ablation.py:
+    metric vs sweep value with seaborn CI bands)."""
+    groups: Dict = {}
+    for logdir in logdirs:
+        value = sweep_value(logdir, param)
+        if value is None:
+            raise SystemExit(
+                f"{logdir}: no '{param}' in any params-*.json — pass "
+                f"--param with a key from the CLI's hyperparameter "
+                f"dump")
+        groups.setdefault(value, []).extend(load_results(logdir))
+    table = {}
+    for value in sorted(groups):
+        recs = groups[value]
+        table[value] = {
+            key: mean_ci([r[key] for r in recs if key in r])
+            for key in PRIMARY_METRICS}
+        table[value]["_n"] = len(recs)
+    return table
+
+
+def _plot_curves(table, param: str, out: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    keys = PRIMARY_METRICS[:2]
+    values = list(table)
+    fig, axes = plt.subplots(1, len(keys), figsize=(5 * len(keys), 4))
+    for ax, key in zip(np.atleast_1d(axes), keys):
+        means = np.asarray([table[v][key][0] for v in values])
+        errs = np.asarray([table[v][key][1] for v in values])
+        ax.plot(values, means, marker="o")
+        ax.fill_between(values, means - errs, means + errs, alpha=0.25)
+        ax.set_xlabel(param)
+        ax.set_title(key)
+        ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
 def _plot_bars(table, out):
     import matplotlib
     matplotlib.use("Agg")
@@ -186,9 +246,14 @@ def main(argv=None):
     p.add_argument("logdirs", nargs="+")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--radius", type=float, default=1.0)
+    p.add_argument("--param", type=str,
+                   default="exploration_budget_one",
+                   help="ablation: swept hyperparameter (params-*.json "
+                        "key, e.g. exploration_budget_one, "
+                        "detection_threshold)")
     args = p.parse_args(argv)
 
-    if args.command in ("metrics", "ablation"):
+    if args.command == "metrics":
         table = metrics_table(args.logdirs)
         for name, row in table.items():
             print(name)
@@ -196,6 +261,15 @@ def main(argv=None):
                 print(f"  {key:42s} {mean:8.4f} ± {ci:.4f}")
         if args.out:
             _plot_bars(table, args.out)
+    elif args.command == "ablation":
+        table = ablation_table(args.logdirs, args.param)
+        for value, row in table.items():
+            print(f"{args.param} = {value}  (n={row['_n']})")
+            for key in PRIMARY_METRICS:
+                mean, ci = row[key]
+                print(f"  {key:42s} {mean:8.4f} ± {ci:.4f}")
+        if args.out:
+            _plot_curves(table, args.param, args.out)
     elif args.command == "pr":
         for name, s in precision_recall(args.logdirs).items():
             print(f"{name:20s} precision={s['precision']:.3f} "

@@ -139,3 +139,52 @@ def test_one_phase_mode():
     assert differs
     t2 = sampler.next_task()
     assert t2.episode is not t1.episode  # one task per episode
+
+
+def test_instance_tint_renders_rgb_not_semantic():
+    """Two same-class instances with different tints must differ in RGB
+    but be identical in the semantic channel (appearance is the only
+    cross-instance signal, as for THOR materials)."""
+    w = GridWorld((6.0, 2.5, 6.0))
+    cls = taxonomy.class_id("Mug")
+    for i, (x, tint) in enumerate(((2.0, 0.3), (4.0, 1.0))):
+        w.objects.append(ObjectInstance(
+            name=f"Mug_{i}", class_id=cls,
+            position=np.asarray([x, 0.0, 4.0]),
+            size=np.asarray([0.5, 0.6, 0.5]),
+            tint=np.full(3, tint, np.float32)))
+    pose = AgentPose(x=3.0, y=0.0, z=1.0, rotation_degrees=0.0,
+                     horizon_degrees=30.0)
+    rgb, _, semantic = w.render(CAM, pose)
+    m0 = (semantic[..., 0] == cls) & (rgb.sum(-1) > 0)
+    assert m0.any()
+    # pixels of the two instances: left half vs right half of the image
+    left = m0[:, :CAM.width // 2]
+    right = m0[:, CAM.width // 2:]
+    assert left.any() and right.any()
+    lum_l = rgb[:, :CAM.width // 2][left].mean()
+    lum_r = rgb[:, CAM.width // 2:][right].mean()
+    assert abs(lum_l - lum_r) > 0.05      # appearance differs
+    # cloning preserves tints
+    w2 = w.clone()
+    rgb2, _, _ = w2.render(CAM, pose)
+    np.testing.assert_allclose(rgb2, rgb)
+
+
+def test_duplicate_class_pairs_episode():
+    """duplicate_class_pairs adds same-class same-size tinted pairs with
+    exactly one member misplaced (the size-matching-ambiguous scenario
+    for --use-feature-matching)."""
+    ep = RR.generate_episode(5, num_objects=2, num_misplaced=1,
+                             num_opened=0, camera=CAM,
+                             duplicate_class_pairs=1)
+    goal, start = ep.goal_world, ep.world
+    dups_g = [o for o in goal.objects if "_dup" in o.name]
+    dups_s = [o for o in start.objects if "_dup" in o.name]
+    assert len(dups_g) == 2 and len(dups_s) == 2
+    assert dups_g[0].class_id == dups_g[1].class_id
+    np.testing.assert_allclose(dups_g[0].size, dups_g[1].size)
+    assert abs(dups_g[0].tint[0] - dups_g[1].tint[0]) > 0.3
+    moved = [not np.allclose(g.position, s.position)
+             for g, s in zip(dups_g, dups_s)]
+    assert sum(moved) == 1

@@ -75,6 +75,39 @@ def test_submission_and_analysis(tmp_path):
     assert modes["IncorrectObjectRearranged"] == 1
 
 
+def test_ablation_sweep(tmp_path):
+    """ablation groups logdirs by a swept params-*.json value and
+    aggregates metric curves (reference: visualize_budget_ablation.py:
+    88-90) — it must NOT be a plain alias of the metrics table."""
+    def rec(fixed):
+        return {"unshuffle/prop_fixed_strict": fixed,
+                "unshuffle/success": float(fixed == 1.0),
+                "unshuffle/num_initially_misplaced": 1,
+                "unshuffle/num_newly_misplaced": 0}
+
+    # two logdirs at budget 2, one at budget 6
+    dirs = []
+    for name, budget, recs in (
+            ("b2-a", 2, [rec(0.0), rec(0.5)]),
+            ("b2-b", 2, [rec(0.5)]),
+            ("b6", 6, [rec(1.0), rec(1.0)])):
+        d = _fake_results(tmp_path, name, recs)
+        with open(os.path.join(d, "params-0-1.json"), "w") as f:
+            json.dump({"exploration_budget_one": budget}, f)
+        dirs.append(d)
+
+    table = analyze.ablation_table(dirs, "exploration_budget_one")
+    assert list(table) == [2, 6]            # sorted by swept value
+    assert table[2]["_n"] == 3              # groups pool across dirs
+    m2, _ = table[2]["unshuffle/prop_fixed_strict"]
+    m6, _ = table[6]["unshuffle/prop_fixed_strict"]
+    assert abs(m2 - 1.0 / 3) < 1e-6 and m6 == 1.0
+
+    out = tmp_path / "curves.png"
+    analyze._plot_curves(table, "exploration_budget_one", str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_found_objects_curve(tmp_path):
     d = tmp_path / "results"
     d.mkdir()
