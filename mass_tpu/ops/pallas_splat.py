@@ -400,7 +400,9 @@ def splat_onehot_frames_cmajor(data: jax.Array, ids: jax.Array,
     from mass_tpu.ops.scatter import span_sorted_records
 
     ids_s, w_s, cls_s, starts = jax.vmap(
-        span_sorted_records, in_axes=(0, 0, 0, None, None)
+        functools.partial(span_sorted_records,
+                          num_classes=num_features),
+        in_axes=(0, 0, 0, None, None)
     )(ids, weights, classes.reshape(num_frames, -1), num_voxels, SPAN)
 
     pad = _round_up(ids_s.shape[1], CHUNK) + CHUNK - ids_s.shape[1]
@@ -633,8 +635,13 @@ def splat_onehot_multi_cmajor(datas, ids: jax.Array,
     for m, c in enumerate(classes):
         packed = packed | (c.reshape(-1).astype(jnp.int32) << (8 * m))
 
+    # with one map the "packed" ids are plain class ids bounded by its
+    # feature count; multi-map packing spans 8*num_maps bits, which
+    # only fits the int32 key for small grids (the helper falls back)
     ids_s, w_s, cls_s, starts = span_sorted_records(
-        ids, weights, packed, num_voxels, SPAN)
+        ids, weights, packed, num_voxels, SPAN,
+        num_classes=(blocks[0] if num_maps == 1
+                     else 1 << (8 * num_maps)))
 
     pad = _round_up(ids_s.shape[0], CHUNK) + CHUNK - ids_s.shape[0]
     ids_s = jnp.pad(ids_s, (0, pad), constant_values=num_voxels)
@@ -692,7 +699,8 @@ def splat_onehot_cmajor(data: jax.Array, ids: jax.Array,
     from mass_tpu.ops.scatter import span_sorted_records
 
     ids_s, w_s, cls_s, starts = span_sorted_records(
-        ids, weights, classes, num_voxels, SPAN)
+        ids, weights, classes, num_voxels, SPAN,
+        num_classes=num_features)
 
     # pad record arrays so aligned chunk DMAs never run past the end
     pad = _round_up(ids_s.shape[0], CHUNK) + CHUNK - ids_s.shape[0]

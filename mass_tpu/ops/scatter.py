@@ -189,19 +189,37 @@ def segment_totals(values: jax.Array, heads: jax.Array) -> jax.Array:
 
 def span_sorted_records(ids: jax.Array, weights: jax.Array,
                         classes: jax.Array, num_voxels: int,
-                        span_slots: int):
+                        span_slots: int, num_classes: int = None):
     """Sort splat records by voxel id, carrying payloads through the
     sort network (random gathers are as serialized as scatters on TPU —
     multi-operand ``lax.sort`` moves payloads with the keys instead).
 
+    When the caller knows the class-id bound (``num_classes``) and the
+    packed key fits in int32, the class rides the KEY's low bits instead
+    of being a third sort operand — one fewer array through the
+    comparator network.  Discard records (id == V, the reference's
+    compacted-away invalid pixels, mass/utils/projection.py:204-208)
+    sort past the last span either way; XLA's static shapes forbid
+    actually dropping them, so cheapening their ride is the TPU-native
+    equivalent of the reference's pre-filter.
+
     Returns ``(ids_s, w_s, cls_s, starts)`` where ``starts`` are the
-    record ranges of each ``span_slots``-sized voxel-id span; discard
-    records (id == V) sort past the last span.  Per-voxel reductions
-    happen inside the splat kernel (one-hot matmuls), so no segment
-    sums are needed here.
+    record ranges of each ``span_slots``-sized voxel-id span.  Per-voxel
+    reductions happen inside the splat kernel (one-hot matmuls), so no
+    segment sums are needed here.
     """
     cls8 = jnp.tile(classes.reshape(-1), 8).astype(jnp.int32)
-    ids_s, w_s, cls_s = jax.lax.sort((ids, weights, cls8), num_keys=1)
+    bits = (0 if num_classes is None
+            else max(1, int(num_classes - 1).bit_length()))
+    if num_classes is not None and \
+            ((num_voxels + 1) << bits) <= 2**31 - 1:
+        key = (ids.astype(jnp.int32) << bits) | cls8
+        key_s, w_s = jax.lax.sort((key, weights), num_keys=1)
+        ids_s = key_s >> bits
+        cls_s = key_s & ((1 << bits) - 1)
+    else:
+        ids_s, w_s, cls_s = jax.lax.sort((ids, weights, cls8),
+                                         num_keys=1)
     n_spans = (num_voxels + span_slots - 1) // span_slots
     bounds = jnp.arange(n_spans + 1, dtype=jnp.int32) * span_slots
     starts = jnp.searchsorted(ids_s, bounds, side="left").astype(

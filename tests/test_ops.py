@@ -123,3 +123,36 @@ def test_hungarian_dynamic_sizes():
     ours = sum(sub[i, col[i]] for i in range(3) if col[i] >= 0)
     assert np.all(col[3:] == -1)
     assert abs(ours - sub[ri, ci].sum()) < 1e-3
+
+
+def test_span_sorted_records_packed_key_matches_fallback():
+    """The packed-key (2-operand) sort must produce the same sorted
+    record stream and span starts as the 3-operand fallback; records
+    sharing a voxel id may legitimately reorder, so compare per-voxel
+    (id, class, weight-sum) content."""
+    from mass_tpu.ops.scatter import span_sorted_records
+
+    rng = np.random.RandomState(0)
+    V, N, C = 4096, 500, 54
+    ids = jnp.asarray(np.concatenate([
+        rng.randint(0, V, 8 * N - 40),
+        np.full(40, V)]).astype(np.int32))       # 40 discard records
+    weights = jnp.asarray(rng.uniform(0, 1, 8 * N).astype(np.float32))
+    classes = jnp.asarray(rng.randint(0, C, N).astype(np.int32))
+
+    packed = span_sorted_records(ids, weights, classes, V, 512,
+                                 num_classes=C)
+    fallback = span_sorted_records(ids, weights, classes, V, 512)
+
+    np.testing.assert_array_equal(packed[0], fallback[0])   # ids
+    np.testing.assert_array_equal(packed[3], fallback[3])   # starts
+    # same multiset of (id, cls, weight) records
+    def recs(r):
+        arr = np.stack([np.asarray(r[0]), np.asarray(r[2]),
+                        np.round(np.asarray(r[1]) * 1e6)], axis=1)
+        return arr[np.lexsort(arr.T[::-1])]
+    np.testing.assert_array_equal(recs(packed), recs(fallback))
+    # huge grids where the packed key would overflow fall back cleanly
+    big = span_sorted_records(ids, weights, classes, 2**28, 512,
+                              num_classes=C)
+    assert big[0].shape == packed[0].shape
