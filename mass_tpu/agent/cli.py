@@ -281,7 +281,7 @@ def make_video_factory(args):
     return factory
 
 
-def run_fleet(args, config):
+def run_fleet(args, config, policy=None):
     """Lockstep fleet evaluation over the task range: batches of
     ``--fleet-size`` episodes share one device dispatch per stage."""
     assert args.backend == "gridworld", \
@@ -309,7 +309,8 @@ def run_fleet(args, config):
             duplicate_class_pairs=args.duplicate_class_pairs)
             for s in batch]
         evaluator = FleetEvaluator(
-            config, samplers, seeds=[args.seed + s for s in batch])
+            config, samplers, seeds=[args.seed + s for s in batch],
+            policy_params=policy)
         for s, result in zip(batch, evaluator.run()):
             result["task_id"] = s
             if config.logdir:
@@ -356,7 +357,7 @@ def main(argv=None):
 
     def run():
         if args.fleet_size > 1:
-            return run_fleet(args, config)
+            return run_fleet(args, config, policy)
         sampler = make_sampler(args, config)
         agent = RearrangementAgent(
             config, sampler, policy_params=policy,

@@ -19,9 +19,9 @@ episodes in lockstep instead:
     per-episode rng streams (pinned by tests/test_evaluator.py).
 
 Supported configuration mirrors the evaluation path of the sequential
-agent: two-phase episodes, GT or sampled exploration goals, GT or
-predicted disagreement.  (Videos, one-phase mode, feature matching and
-the search policy stay on the sequential driver.)
+agent: two-phase episodes, GT / sampled / semantic-search-policy
+exploration goals, GT or predicted disagreement.  (Videos, one-phase
+mode and feature matching stay on the sequential driver.)
 """
 
 from __future__ import annotations
@@ -75,7 +75,8 @@ WALK, UNSHUFFLE, REARRANGE, DONE = range(4)
 
 class _Episode:
     def __init__(self, index: int, sampler, config: AgentConfig,
-                 fleet: FleetMaps, rng: np.random.RandomState):
+                 fleet: FleetMaps, rng: np.random.RandomState,
+                 policy=None):
         self.index = index
         self.sampler = sampler
         self.config = config
@@ -85,6 +86,11 @@ class _Episode:
         self.mission: Optional[_Mission] = None
         self.objects_moved: set = set()
         self.results: Optional[Dict] = None
+        self._fleet = fleet
+        self._policy = policy       # shared jitted goal-cell sampler
+        # same per-episode key derivation as the sequential agent
+        # (agent/loop.py: PRNGKey(rng.randint(1 << 30)) at init)
+        self._policy_key = jax.random.PRNGKey(rng.randint(1 << 30))
 
         self.task = sampler.next_task()
         loc = self.task.agent_location()
@@ -112,13 +118,25 @@ class _Episode:
         names = PHASE_ONE_MAPS if self.phase == WALK else PHASE_TWO_MAPS
         return [n for n in names if n in self.controller.maps]
 
-    def _next_goal(self, gt_goals: List[np.ndarray]) -> np.ndarray:
+    def _next_goal(self, gt_goals: List[np.ndarray],
+                   semantic_name: str,
+                   use_policy: bool) -> np.ndarray:
         # mirror agent/loop._next_goal exactly: the random sample is
         # always drawn (it advances the rng) even when a GT goal wins
         goal = self.controller.sample_navigation_goal({})
         if gt_goals:
             return gt_goals.pop(0)
+        if use_policy and self._policy is not None:
+            return self._policy_goal(semantic_name)
         return goal
+
+    def _policy_goal(self, semantic_name: str) -> np.ndarray:
+        """Semantic-search goal from this episode's fleet slab
+        (mirrors agent/loop._policy_goal; reference: agent.py:328-339)."""
+        self._policy_key, sub = jax.random.split(self._policy_key)
+        vm = self._fleet.view(semantic_name, self.index)
+        cell = self._policy(vm.data, sub)
+        return np.asarray(vm.map_to_world(cell.astype(jnp.float32)))
 
     def _enter_unshuffle(self) -> None:
         self.task = self.sampler.next_task()
@@ -189,8 +207,9 @@ class _Episode:
                     continue
                 self.goals_used += 1
                 self.mission = _Mission(
-                    self._next_goal(self.gt_walk), [],
-                    cfg.nav.max_goal_steps)
+                    self._next_goal(self.gt_walk, "semantic0",
+                                    cfg.semantic_search_walkthrough),
+                    [], cfg.nav.max_goal_steps)
             elif self.phase == UNSHUFFLE:
                 if self.goals_used >= cfg.exploration_budget_two:
                     self.phase = REARRANGE
@@ -198,8 +217,9 @@ class _Episode:
                     continue
                 self.goals_used += 1
                 self.mission = _Mission(
-                    self._next_goal(self.gt_unshuffle), [],
-                    cfg.nav.max_goal_steps)
+                    self._next_goal(self.gt_unshuffle, "semantic1",
+                                    cfg.semantic_search_unshuffle),
+                    [], cfg.nav.max_goal_steps)
             else:                                        # REARRANGE
                 if self._queue:
                     self.mission = self._queue.pop(0)
@@ -248,7 +268,8 @@ class FleetEvaluator:
     """
 
     def __init__(self, config: AgentConfig, samplers: List,
-                 seeds: Optional[List[int]] = None):
+                 seeds: Optional[List[int]] = None,
+                 policy_params=None):
         assert not config.one_phase, \
             "one-phase episodes use the sequential driver"
         assert not config.use_feature_matching, \
@@ -262,10 +283,24 @@ class FleetEvaluator:
         geometry = dataclasses.replace(
             _geometry_of(config), layout="cmajor")
         self.fleet = FleetMaps(B, config.camera, geometry, families)
+
+        policy = None
+        if policy_params is not None:
+            from mass_tpu.search import policy as search_policy
+            proto = self.fleet.view("semantic0", 0)
+
+            @jax.jit
+            def policy_goal_cell(data, rng_key):
+                vm = dataclasses.replace(proto, data=data)
+                top = vm.max_over_depth()[None]
+                return search_policy.sample_goal_cell(
+                    policy_params, top, rng_key)[0]
+            policy = policy_goal_cell
+
         seeds = seeds or list(range(B))
         self.episodes = [
             _Episode(i, samplers[i], config, self.fleet,
-                     np.random.RandomState(seeds[i]))
+                     np.random.RandomState(seeds[i]), policy=policy)
             for i in range(B)]
         self._planner = self._make_fleet_planner()
 

@@ -121,3 +121,41 @@ def test_fleet_evaluator_mixed_completion(tmp_path):
         assert r is not None
         assert "unshuffle/prop_fixed" in r
         assert "unshuffle/objects_to_move" in r
+
+
+@pytest.mark.slow
+def test_fleet_policy_goals_match_sequential_agent(tmp_path):
+    """Semantic-search goals in the fleet (sampled per episode from the
+    shared slab maps) must reproduce the sequential agent's episodes on
+    matched seeds — same policy params, same per-episode key streams."""
+    import dataclasses
+    import jax
+    from mass_tpu.search import policy as pol
+
+    cfg = dataclasses.replace(
+        _config(tmp_path), ground_truth_semantic_search=False,
+        semantic_search_walkthrough=True,
+        semantic_search_unshuffle=True)
+    params = pol.init_params(jax.random.PRNGKey(3), cfg.map_height,
+                             cfg.map_width, 54)
+
+    fleet = FleetEvaluator(cfg, [_sampler(s) for s in SEEDS],
+                           seeds=[100 + s for s in SEEDS],
+                           policy_params=params)
+    fleet_results = fleet.run()
+
+    from mass_tpu.agent.loop import RearrangementAgent
+    seq_results = []
+    for s in SEEDS:
+        agent = RearrangementAgent(
+            cfg, _sampler(s), policy_params=params,
+            rng=np.random.RandomState(100 + s))
+        seq_results.append(agent.run_task(0))
+
+    keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
+            "unshuffle/success", "unshuffle/num_fixed")
+    for got, want, s in zip(fleet_results, seq_results, SEEDS):
+        for k in keys:
+            assert got[k] == want[k], (s, k, got[k], want[k])
+        assert got["unshuffle/objects_moved"] == \
+            want["unshuffle/objects_moved"], s
