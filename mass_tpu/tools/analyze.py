@@ -196,6 +196,53 @@ def _plot_curves(table, param: str, out: str):
     print(f"wrote {out}")
 
 
+def _plot_failure_modes(per_dir: Dict[str, Dict[str, int]], out: str):
+    """Stacked failure-attribution bars, one bar per logdir
+    (reference: visualize_remainder.py tail)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    names = list(per_dir)
+    modes = list(next(iter(per_dir.values())))
+    fig, ax = plt.subplots(figsize=(1.8 + 1.2 * len(names), 4.5))
+    bottom = np.zeros(len(names))
+    for mode in modes:
+        vals = np.asarray([per_dir[n][mode] for n in names], float)
+        ax.bar(range(len(names)), vals, bottom=bottom, label=mode)
+        bottom += vals
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels([os.path.basename(os.path.normpath(n))
+                        for n in names], rotation=30, ha="right")
+    ax.set_ylabel("episodes")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
+def _plot_precision_recall(stats: Dict[str, Dict[str, float]],
+                           out: str):
+    """Per-class precision/recall bars of difference detection
+    (reference: visualize_precision_recall.py:33-75)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    names = list(stats)
+    x = np.arange(len(names))
+    fig, ax = plt.subplots(figsize=(2.0 + 0.45 * len(names), 4.0))
+    ax.bar(x - 0.2, [stats[n]["precision"] for n in names], 0.4,
+           label="precision")
+    ax.bar(x + 0.2, [stats[n]["recall"] for n in names], 0.4,
+           label="recall")
+    ax.set_xticks(x)
+    ax.set_xticklabels(names, rotation=60, ha="right", fontsize=7)
+    ax.set_ylim(0, 1.05)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
 def _plot_bars(table, out):
     import matplotlib
     matplotlib.use("Agg")
@@ -271,13 +318,20 @@ def main(argv=None):
         if args.out:
             _plot_curves(table, args.param, args.out)
     elif args.command == "pr":
-        for name, s in precision_recall(args.logdirs).items():
+        stats = precision_recall(args.logdirs)
+        for name, s in stats.items():
             print(f"{name:20s} precision={s['precision']:.3f} "
                   f"recall={s['recall']:.3f} "
                   f"(tp={s['tp']} fp={s['fp']} fn={s['fn']})")
+        if args.out and stats:
+            _plot_precision_recall(stats, args.out)
     elif args.command == "failures":
-        for mode, count in failure_modes(args.logdirs).items():
+        per_dir = {d: failure_modes([d]) for d in args.logdirs}
+        total = failure_modes(args.logdirs)
+        for mode, count in total.items():
             print(f"{mode:32s} {count}")
+        if args.out:
+            _plot_failure_modes(per_dir, args.out)
     elif args.command == "analytics":
         table = object_analytics(args.logdirs)
         print(table if table is not None else "no analytics CSVs found")

@@ -107,6 +107,18 @@ def test_ablation_sweep(tmp_path):
     analyze._plot_curves(table, "exploration_budget_one", str(out))
     assert out.exists() and out.stat().st_size > 0
 
+    # the failure-mode and precision/recall plots render from the same
+    # logdirs (reference: visualize_remainder.py,
+    # visualize_precision_recall.py)
+    fail_png = tmp_path / "failures.png"
+    analyze._plot_failure_modes(
+        {d: analyze.failure_modes([d]) for d in dirs}, str(fail_png))
+    assert fail_png.exists() and fail_png.stat().st_size > 0
+    pr_png = tmp_path / "pr.png"
+    stats = {"Mug": dict(precision=0.5, recall=1.0, tp=1, fp=1, fn=0)}
+    analyze._plot_precision_recall(stats, str(pr_png))
+    assert pr_png.exists() and pr_png.stat().st_size > 0
+
 
 def test_found_objects_curve(tmp_path):
     d = tmp_path / "results"
