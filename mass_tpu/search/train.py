@@ -155,7 +155,8 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
         batch_size: int = 8, learning_rate: float = 3e-4,
         val_fraction: float = 0.15, seed: int = 0,
         log_every: int = 50, sigma: float = 2.0,
-        weight_decay: float = 1e-4, augment: bool = True):
+        weight_decay: float = 1e-4, augment: bool = True,
+        data_parallel: bool = False):
     """Train the search policy on collected (top-down, goal-cell) pairs
     and save a flax checkpoint loadable by the agent CLI's
     ``--policy-checkpoint``.
@@ -163,7 +164,13 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
     Splits train/val BY TASK so validation scenes are unseen; targets
     are Gaussian-smoothed heat maps (``sigma`` cells); training batches
     draw random dihedral augmentations; the saved checkpoint is the one
-    with the BEST validation smoothed-NLL seen during training."""
+    with the BEST validation smoothed-NLL seen during training.
+
+    ``data_parallel`` shards each batch over a ``(devices,)`` "data"
+    mesh with replicated params — jit inserts the gradient psum
+    (SURVEY.md §5.8's ICI data-parallel leg; the reference's analogue
+    is detectron2's NCCL DDP, train_maskrcnn.py:133-136).  Requires
+    ``batch_size`` divisible by the device count."""
     import numpy as np
 
     from mass_tpu.utils.checkpoint import save_pytree
@@ -183,7 +190,26 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
 
     state, tx = create_train_state(jax.random.PRNGKey(seed), h, w, c,
                                    learning_rate, weight_decay)
-    step_fn = jax.jit(lambda s, t, g: train_step(s, tx, t, g, sigma))
+    if data_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mass_tpu.parallel import make_mesh
+
+        ndev = jax.device_count()
+        assert batch_size % ndev == 0, (
+            f"batch_size {batch_size} must divide over {ndev} devices")
+        mesh = make_mesh((ndev,), ("data",))
+        batch_sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        state = jax.device_put(state, rep)
+        step_fn = jax.jit(
+            lambda s, t, g: train_step(s, tx, t, g, sigma),
+            in_shardings=(rep, batch_sh, batch_sh),
+            out_shardings=((rep, rep)))
+        print(f"data-parallel over {ndev} devices", flush=True)
+    else:
+        step_fn = jax.jit(lambda s, t, g: train_step(s, tx, t, g,
+                                                     sigma))
     eval_nll = jax.jit(functools.partial(goal_cross_entropy,
                                          sigma=sigma))
     eval_dist = jax.jit(goal_distance)
@@ -253,6 +279,9 @@ def main(argv=None):
                    help="goal heat-map smoothing, in map cells")
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices (params "
+                        "replicated, grads psum'd by jit)")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -261,7 +290,8 @@ def main(argv=None):
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         val_fraction=args.val_fraction, seed=args.seed,
         sigma=args.sigma, weight_decay=args.weight_decay,
-        augment=not args.no_augment)
+        augment=not args.no_augment,
+        data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":
