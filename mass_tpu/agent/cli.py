@@ -125,10 +125,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(parallel/evaluator.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None,
-                   choices=["cpu", "tpu"],
-                   help="force the JAX backend (the axon TPU plugin "
-                        "ignores JAX_PLATFORMS=cpu, so host-side "
-                        "ablation sweeps pass --platform cpu)")
+                   help="force the JAX backend by platform name (cpu, "
+                        "tpu, axon, ...). The axon TPU plugin ignores "
+                        "JAX_PLATFORMS=cpu, so host-side ablation "
+                        "sweeps pass --platform cpu; plugin platforms "
+                        "register under their own names, hence no "
+                        "fixed choice list")
     return p
 
 

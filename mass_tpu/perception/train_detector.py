@@ -174,7 +174,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-class-weighting", action="store_true")
     p.add_argument("--platform", type=str, default=None,
-                   choices=["cpu", "tpu"])
+                   help="jax platform name (cpu, tpu, axon, ...)")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
