@@ -119,7 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--videos", action="store_true")
     p.add_argument("--fleet-size", type=int, default=1,
                    help="run episodes in lockstep fleets of this size "
-                        "(gridworld backend, two-phase, no videos/"
+                        "(gridworld backend, no videos/"
                         "feature-matching): one device dispatch per "
                         "stage serves the whole fleet "
                         "(parallel/evaluator.py)")
@@ -305,6 +305,7 @@ def run_fleet(args, config, policy=None):
         batch = seeds[lo:lo + args.fleet_size]
         samplers = [GridWorldTaskSampler(
             [s], camera=config.camera, max_steps=args.max_steps,
+            one_phase=args.one_phase,
             num_objects=args.num_objects,
             num_misplaced=args.num_misplaced,
             num_opened=args.num_opened,

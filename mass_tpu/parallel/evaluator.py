@@ -19,9 +19,11 @@ episodes in lockstep instead:
     per-episode rng streams (pinned by tests/test_evaluator.py).
 
 Supported configuration mirrors the evaluation path of the sequential
-agent: two-phase episodes, GT / sampled / semantic-search-policy
-exploration goals, GT or predicted disagreement.  (Videos, one-phase
-mode and feature matching stay on the sequential driver.)
+agent: two-phase AND one-phase episodes, GT / sampled /
+semantic-search-policy exploration goals, GT or predicted
+disagreement.  One-phase ticks issue a second batched launch for the
+goal-fed maps (the goal render's depth has its own binning).  (Videos
+and feature matching stay on the sequential driver.)
 """
 
 from __future__ import annotations
@@ -36,7 +38,8 @@ import numpy as np
 
 from mass_tpu import taxonomy
 from mass_tpu.agent import oracle
-from mass_tpu.agent.loop import PHASE_ONE_MAPS, PHASE_TWO_MAPS
+from mass_tpu.agent.loop import (GOAL_FED_MAPS, PHASE_ONE_MAPS,
+                                 PHASE_TWO_MAPS)
 from mass_tpu.config import AgentConfig
 from mass_tpu.env.gridworld import snake_case
 from mass_tpu.match.differences import predict_scene_differences
@@ -97,25 +100,52 @@ class _Episode:
         fleet.reset(index, (loc.x, loc.z, loc.y))
         maps = {name: _FleetLayerView(fleet, name, index)
                 for name in fleet.names}
-        nav_name = ("semantic0" if config.navigate_on_semantic
-                    else "occupancy")
+        if config.navigate_on_semantic:
+            # one-phase agents navigate the LIVE world (semantic1),
+            # mirroring agent/loop.py's navigation_map choice
+            nav_name = ("semantic1" if config.one_phase
+                        else "semantic0")
+        else:
+            nav_name = "occupancy"
         self.controller = NavigationController(
             self.task, nav_name, maps, config.nav, rng=rng)
         self.task.step(self.task.action_names().index("look_down"))
 
         self.gt_walk: List[np.ndarray] = []
         self.gt_unshuffle: List[np.ndarray] = []
-        if config.ground_truth_semantic_search:
-            for cur, target in oracle.scene_difference_positions(
-                    self.task):
-                self.gt_walk.append(target)
-                self.gt_unshuffle.append(cur)
         self.object_ids_to_move: set = set()
+        if config.one_phase:
+            # single task: one exploration pass with the combined
+            # budget builds BOTH maps (goal maps read the goal render);
+            # GT goals interleave (current, target) like the
+            # sequential one-phase driver (agent/loop.py
+            # _run_task_one_phase)
+            self.phase = UNSHUFFLE
+            self.unshuffle_budget = (config.exploration_budget_one +
+                                     config.exploration_budget_two)
+            if config.ground_truth_semantic_search:
+                for cur, target in oracle.scene_difference_positions(
+                        self.task):
+                    self.gt_unshuffle.extend([cur, target])
+            self.object_ids_to_move = {
+                taxonomy.CLASS_NAMES.index(n)
+                for n in oracle.scene_difference_types(self.task)}
+        else:
+            self.unshuffle_budget = config.exploration_budget_two
+            if config.ground_truth_semantic_search:
+                for cur, target in oracle.scene_difference_positions(
+                        self.task):
+                    self.gt_walk.append(target)
+                    self.gt_unshuffle.append(cur)
 
     # ------------------------------------------------------------ fsm
 
     def update_names(self) -> List[str]:
-        names = PHASE_ONE_MAPS if self.phase == WALK else PHASE_TWO_MAPS
+        if self.config.one_phase:
+            names = PHASE_ONE_MAPS + PHASE_TWO_MAPS
+        else:
+            names = (PHASE_ONE_MAPS if self.phase == WALK
+                     else PHASE_TWO_MAPS)
         return [n for n in names if n in self.controller.maps]
 
     def _next_goal(self, gt_goals: List[np.ndarray],
@@ -211,7 +241,7 @@ class _Episode:
                                     cfg.semantic_search_walkthrough),
                     [], cfg.nav.max_goal_steps)
             elif self.phase == UNSHUFFLE:
-                if self.goals_used >= cfg.exploration_budget_two:
+                if self.goals_used >= self.unshuffle_budget:
                     self.phase = REARRANGE
                     self._queue: List[_Mission] = []
                     continue
@@ -270,8 +300,6 @@ class FleetEvaluator:
     def __init__(self, config: AgentConfig, samplers: List,
                  seeds: Optional[List[int]] = None,
                  policy_params=None):
-        assert not config.one_phase, \
-            "one-phase episodes use the sequential driver"
         assert not config.use_feature_matching, \
             "feature matching uses the sequential driver"
         self.config = config
@@ -312,8 +340,11 @@ class FleetEvaluator:
         host every tick copies the full maps and made the fleet SLOWER
         than the sequential agent (measured 3.3x on CPU)."""
         fleet = self.fleet
-        nav_name = ("semantic0" if self.config.navigate_on_semantic
-                    else "occupancy")
+        if self.config.navigate_on_semantic:
+            nav_name = ("semantic1" if self.config.one_phase
+                        else "semantic0")
+        else:
+            nav_name = "occupancy"
         geometry = fleet._episode_geoms[nav_name]
         V = fleet._episode_voxels
         B = fleet.batch
@@ -411,6 +442,17 @@ class FleetEvaluator:
                                          np.int32)}
         active = {name: np.zeros((B,), bool)
                   for name in self.fleet.names}
+        one_phase = self.config.one_phase
+        if one_phase:
+            # goal-fed maps consume the GOAL world's render, whose
+            # depth differs from the live frame — a second batched
+            # launch with its own binning (mirrors OnePhaseMapSet,
+            # agent/loop.py:43-60)
+            goal_depths = np.full_like(depths, 1e9)
+            goal_classes = {"semantic0": np.zeros(
+                (B, cam.height, cam.width), np.int32)}
+            goal_active = {name: np.zeros((B,), bool)
+                           for name in self.fleet.names}
         obs: Dict[int, Dict] = {}
         for ep in live:
             o = ep.task.get_observations()
@@ -424,11 +466,24 @@ class FleetEvaluator:
             if sem.ndim == 3:
                 sem = sem[..., 0]
             for name in ep.update_names():
+                if one_phase and name in GOAL_FED_MAPS:
+                    gsem = np.asarray(o["goal_semantic"])
+                    if gsem.ndim == 3:
+                        gsem = gsem[..., 0]
+                    goal_active[name][ep.index] = True
+                    goal_classes[name][ep.index] = gsem
+                    goal_depths[ep.index] = np.asarray(
+                        o["goal_depth"], np.float32)
+                    continue
                 active[name][ep.index] = True
                 if name in classes:
                     classes[name][ep.index] = sem
         self.fleet.update_batch(positions, yaws, elevations, depths,
                                 classes, active=active)
+        if one_phase and any(m.any() for m in goal_active.values()):
+            self.fleet.update_batch(positions, yaws, elevations,
+                                    goal_depths, goal_classes,
+                                    active=goal_active)
 
         # --- batched planning, per-episode decisions + env steps
         plans = self._plan_groups(live, obs)

@@ -159,3 +159,42 @@ def test_fleet_policy_goals_match_sequential_agent(tmp_path):
             assert got[k] == want[k], (s, k, got[k], want[k])
         assert got["unshuffle/objects_moved"] == \
             want["unshuffle/objects_moved"], s
+
+
+@pytest.mark.slow
+def test_fleet_one_phase_matches_sequential_agent(tmp_path):
+    """One-phase fleet episodes (single task, goal-fed semantic0 via a
+    second batched launch per tick) must reproduce the sequential
+    one-phase driver on matched seeds."""
+    import dataclasses
+    cfg = dataclasses.replace(_config(tmp_path), one_phase=True,
+                              exploration_budget_one=2,
+                              exploration_budget_two=1)
+
+    def sampler(seed):
+        return GridWorldTaskSampler([seed], camera=CAM, max_steps=250,
+                                    one_phase=True, num_objects=2,
+                                    num_misplaced=1, num_opened=0)
+
+    fleet = FleetEvaluator(cfg, [sampler(s) for s in SEEDS],
+                           seeds=[100 + s for s in SEEDS])
+    fleet_results = fleet.run()
+
+    from mass_tpu.agent.loop import RearrangementAgent
+    seq_results = []
+    for s in SEEDS:
+        agent = RearrangementAgent(
+            cfg, sampler(s), rng=np.random.RandomState(100 + s))
+        seq_results.append(agent.run_task(0))
+
+    keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
+            "unshuffle/success", "unshuffle/num_fixed",
+            "unshuffle/num_initially_misplaced")
+    for got, want, s in zip(fleet_results, seq_results, SEEDS):
+        for k in keys:
+            assert got[k] == want[k], (s, k, got[k], want[k])
+        assert got["unshuffle/objects_moved"] == \
+            want["unshuffle/objects_moved"], s
+    # the one-phase fleet actually fixes objects on these seeds
+    assert np.mean([r["unshuffle/prop_fixed"]
+                    for r in fleet_results]) > 0
