@@ -125,6 +125,10 @@ def main(argv=None):
         report.append((taxonomy.CLASS_NAMES[cls],
                        float(both.sum() / max(either.sum(), 1))))
 
+    if not ious:
+        raise SystemExit(
+            "no frame contained a non-background GT class — raise "
+            "--frames or change --seed so the spin sees the objects")
     print(f"frames: {args.frames} @ {args.camera_size}px, "
           f"detector {np.mean(times):.1f}s/frame")
     print(f"fused-mask frame mIoU vs GT: {np.mean(ious):.3f} "

@@ -141,7 +141,11 @@ class _Episode:
     # ------------------------------------------------------------ fsm
 
     def update_names(self) -> List[str]:
-        if self.config.one_phase:
+        if self.config.one_phase and self.phase != REARRANGE:
+            # one-phase exploration feeds every map (goal maps read the
+            # goal render); rearrangement navigation updates ONLY the
+            # live phase-two maps, like the sequential one-phase driver
+            # (agent/loop.py _rearrange's update_map=self.phase_two)
             names = PHASE_ONE_MAPS + PHASE_TWO_MAPS
         else:
             names = (PHASE_ONE_MAPS if self.phase == WALK

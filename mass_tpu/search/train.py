@@ -145,9 +145,11 @@ def _dihedral(top: "np.ndarray", cell: "np.ndarray", k: int,
         top = top[:, ::-1]
         x = w - 1 - x
     for _ in range(k):
-        # np.rot90 CCW: (y, x) -> (w - 1 - x, y)
+        # np.rot90 CCW: (y, x) -> (w - 1 - x, y); the rotated array is
+        # (w, h), so the width used by the next step swaps too
         top = np.rot90(top)
         x, y = y, w - 1 - x
+        h, w = w, h
     return top, np.asarray([x, y], np.int32)
 
 
@@ -251,6 +253,11 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
     vn, vd = val_metrics(state.params)
     if vn < best[0]:
         best = (vn, jax.tree_util.tree_map(np.asarray, state.params))
+    if best[1] is None:
+        raise RuntimeError(
+            f"training diverged: validation NLL was never finite "
+            f"(final {vn}); lower --learning-rate — no checkpoint "
+            f"saved")
     params = best[1]
     vn, vd = val_metrics(params)
     # chance references: uniform NLL = log(H*W); random-cell expected

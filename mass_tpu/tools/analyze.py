@@ -327,7 +327,10 @@ def main(argv=None):
             _plot_precision_recall(stats, args.out)
     elif args.command == "failures":
         per_dir = {d: failure_modes([d]) for d in args.logdirs}
-        total = failure_modes(args.logdirs)
+        total: Dict[str, int] = {}
+        for counts in per_dir.values():
+            for mode, count in counts.items():
+                total[mode] = total.get(mode, 0) + count
         for mode, count in total.items():
             print(f"{mode:32s} {count}")
         if args.out:

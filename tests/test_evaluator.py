@@ -165,7 +165,10 @@ def test_fleet_policy_goals_match_sequential_agent(tmp_path):
 def test_fleet_one_phase_matches_sequential_agent(tmp_path):
     """One-phase fleet episodes (single task, goal-fed semantic0 via a
     second batched launch per tick) must reproduce the sequential
-    one-phase driver on matched seeds."""
+    one-phase driver on matched seeds.  Two misplaced classes make the
+    matcher run again AFTER rearrangement navigation, pinning that the
+    fleet freezes the same maps during REARRANGE as the sequential
+    driver (update_map=phase_two only, agent/loop.py _rearrange)."""
     import dataclasses
     cfg = dataclasses.replace(_config(tmp_path), one_phase=True,
                               exploration_budget_one=2,
@@ -173,8 +176,8 @@ def test_fleet_one_phase_matches_sequential_agent(tmp_path):
 
     def sampler(seed):
         return GridWorldTaskSampler([seed], camera=CAM, max_steps=250,
-                                    one_phase=True, num_objects=2,
-                                    num_misplaced=1, num_opened=0)
+                                    one_phase=True, num_objects=3,
+                                    num_misplaced=2, num_opened=0)
 
     fleet = FleetEvaluator(cfg, [sampler(s) for s in SEEDS],
                            seeds=[100 + s for s in SEEDS])

@@ -8,6 +8,12 @@ import subprocess
 import sys
 
 CODE = """
+# Public, version-proof probe: select a platform that cannot exist
+# BEFORE the imports — any import-time backend initialization then
+# raises (unknown platform) and fails this subprocess loudly, on every
+# jax release and even on CPU-only environments.
+import jax
+jax.config.update("jax_platforms", "no_such_platform_hygiene_probe")
 import mass_tpu
 import mass_tpu.agent
 import mass_tpu.agent.cli
@@ -22,14 +28,8 @@ try:
     backends = getattr(xla_bridge, "_backends", None)
 except ImportError:
     backends = None
-if backends is None:
-    # Private probe moved in this jax release: fall back to a public
-    # signal — after the imports above, forcing the platform must still
-    # succeed, which it cannot once any backend is initialized.
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    assert jax.default_backend() == "cpu"
-else:
+if backends is not None:
+    # secondary (private, best-effort) check while it exists
     assert not backends, (
         "import initialized backends: %r" % (dict(backends),))
 print("clean")

@@ -122,13 +122,19 @@ def test_dihedral_augmentation_consistent():
     mark the goal cell in the input and check the transformed mark sits
     at the transformed coordinates."""
     rng = np.random.RandomState(0)
-    top = rng.uniform(size=(8, 8, 2)).astype(np.float32)
-    cell = np.asarray([2, 5], np.int32)          # (x, y)
-    top[cell[1], cell[0], 0] = 77.0              # tag the goal cell
-    for k in range(4):
-        for flip in (False, True):
-            t, c = ptrain._dihedral(top, cell, k, flip)
-            assert t[c[1], c[0], 0] == 77.0, (k, flip, c)
+    # non-square map: rotations swap height/width, so the coordinate
+    # update must track the CURRENT width, not the original
+    for shape in ((8, 8, 2), (6, 10, 2)):
+        top = rng.uniform(size=shape).astype(np.float32)
+        cell = np.asarray([2, 5], np.int32)      # (x, y)
+        top = top.copy()
+        top[cell[1], cell[0], 0] = 77.0          # tag the goal cell
+        for k in range(4):
+            for flip in (False, True):
+                t, c = ptrain._dihedral(top, cell, k, flip)
+                assert 0 <= c[0] < t.shape[1], (shape, k, flip, c)
+                assert 0 <= c[1] < t.shape[0], (shape, k, flip, c)
+                assert t[c[1], c[0], 0] == 77.0, (shape, k, flip, c)
 
 
 def test_fit_data_parallel_on_mesh(tmp_path):
