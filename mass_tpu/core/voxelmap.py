@@ -395,6 +395,56 @@ class VoxelMap:
         return jnp.stack(out, axis=-1)
 
 
+class HostMapToWorld:
+    """NumPy ``map_to_world`` for host-side callers (path backtracking,
+    goal sampling): the jnp version compiles a fresh XLA executable for
+    every new path LENGTH — un-jitted dynamic-shape calls dominated CPU
+    episode time (75 of 126 s/episode was ``backend_compile_and_load``).
+    Midpoint tables are read off the device once per bins identity (bins
+    change only on ``reset``) and the interpolation mirrors
+    ``VoxelMap.map_to_world`` exactly (pinned by tests)."""
+
+    def __init__(self):
+        self._key = None        # bins_x object (held -> identity stable)
+        self._mids = None
+
+    def _tables(self, vm: "VoxelMap"):
+        import numpy as np
+
+        if self._key is not vm.bins_x:
+            bx = np.asarray(vm.bins_x)
+            by = np.asarray(vm.bins_y)
+            bz = np.asarray(vm.bins_z)
+            self._mids = ((bx[:-1] + bx[1:]) / 2,
+                          ((by[:-1] + by[1:]) / 2)[::-1].copy(),
+                          (bz[:-1] + bz[1:]) / 2)
+            self._key = vm.bins_x
+        return self._mids
+
+    def __call__(self, vm: "VoxelMap", coords) -> "np.ndarray":
+        import numpy as np
+
+        mids = self._tables(vm)
+        g = vm.geometry
+        upper = np.asarray(
+            [g.map_width - 1, g.map_height - 1, g.map_depth - 1],
+            np.float32)
+        coords = np.asarray(coords, np.float32)
+        k = coords.shape[-1]
+        coords = np.clip(coords, 0, upper[:k])
+        floored = np.floor(coords)
+        idx = floored.astype(np.int32)
+        frac = (coords - floored).astype(np.float32)
+
+        out = []
+        for a in range(k):
+            m = mids[a].astype(np.float32)
+            left = m[idx[..., a]]
+            right = m[np.clip(idx[..., a] + 1, 0, m.shape[0] - 1)]
+            out.append(left + (right - left) * frac[..., a])
+        return np.stack(out, axis=-1)
+
+
 def apply_onehot_group(vms, ids, weights, classes_list,
                        use_kernel: bool = None):
     """EMA-blend one frame's shared corner contributions into SEVERAL

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mass_tpu.config import NavConfig
+from mass_tpu.core.voxelmap import HostMapToWorld
 from mass_tpu.env.protocol import Task
 from mass_tpu.nav import grid as NG
 from mass_tpu.utils.profiling import StageTimer
@@ -47,6 +48,9 @@ class NavigationController:
         self.rng = rng or np.random.RandomState(0)
         self.timer = timer or StageTimer()
         self.nav_grid: Optional[NG.NavGrid] = None
+        # host map->world for per-step path backtracking: the jnp
+        # version recompiles per path length (core/voxelmap.py)
+        self._map_to_world = HostMapToWorld()
         self.reset_navigation_grid()
 
     # ------------------------------------------------------------ pose
@@ -164,8 +168,7 @@ class NavigationController:
                 [np.asarray(src_cell, np.int32)[None], cells], axis=0)
         cells3 = np.concatenate(
             [cells, np.zeros((cells.shape[0], 1), cells.dtype)], axis=1)
-        return np.asarray(vm.map_to_world(
-            jnp.asarray(cells3, jnp.float32)))
+        return self._map_to_world(vm, cells3)
 
     def shortest_path(self, source_world, target_world) -> np.ndarray:
         """World-coordinate waypoint path source -> target (reference:
@@ -202,8 +205,7 @@ class NavigationController:
         nodes = self.navigable_node_cells(observations["position"])
         pick = nodes[self.rng.randint(nodes.shape[0])]
         cell3 = np.asarray([pick[0], pick[1], 0], np.float32)
-        return np.asarray(self._occupancy_vm().map_to_world(
-            jnp.asarray(cell3)))
+        return self._map_to_world(self._occupancy_vm(), cell3)
 
     # ------------------------------------------------------ local policy
 

@@ -202,6 +202,31 @@ def test_map_to_world_matches_oracle():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_host_map_to_world_matches_jnp_path():
+    """The controller's numpy fast path (no per-shape XLA compiles)
+    must agree bit-for-bit with VoxelMap.map_to_world, including the
+    clamp, the flipped-y midpoints, and 2-d inputs; the cache must
+    refresh when the map is reset onto new bins."""
+    from mass_tpu.core.voxelmap import HostMapToWorld
+
+    vm = VoxelMap.create(GEO, ORIGIN)
+    host = HostMapToWorld()
+    rng = np.random.RandomState(10)
+    cells = rng.uniform([-3, -3, -3],
+                        [GEO.map_width + 2, GEO.map_height + 2,
+                         GEO.map_depth + 2], size=(64, 3)).astype(
+                             np.float32)
+    np.testing.assert_array_equal(
+        host(vm, cells), np.asarray(vm.map_to_world(cells)))
+    np.testing.assert_array_equal(
+        host(vm, cells[:, :2]),
+        np.asarray(vm.map_to_world(cells[:, :2])))
+
+    vm2 = vm.reset((1.25, -0.75, 0.5))
+    np.testing.assert_array_equal(
+        host(vm2, cells), np.asarray(vm2.map_to_world(cells)))
+
+
 def test_clamp_to_world():
     vm = VoxelMap.create(GEO, ORIGIN)
     far = jnp.asarray([100.0, -100.0, 100.0])
