@@ -154,12 +154,15 @@ class NavigationController:
         return src, dist
 
     def _path_from_field(self, dist: np.ndarray, tgt: np.ndarray,
-                         src_cell: np.ndarray) -> np.ndarray:
+                         src_cell: np.ndarray,
+                         grid: Optional[NG.NavGrid] = None) -> np.ndarray:
         """Host backtrack of a planned field into world waypoints, with
         the true source cell prepended when it is off-node (reference:
-        mass/navigation_policy.py:480-483)."""
+        mass/navigation_policy.py:480-483).  ``grid`` may carry
+        pre-fetched host (numpy) leaves to avoid per-leaf device reads."""
         vm = self._occupancy_vm()
-        cells = NG.extract_path(self.nav_grid, dist, tgt,
+        cells = NG.extract_path(grid if grid is not None
+                                else self.nav_grid, dist, tgt,
                                 self.config.step_size)
         if cells.shape[0] == 0:
             cells = np.asarray(src_cell, np.int32)[None]
@@ -256,9 +259,17 @@ class NavigationController:
         grid, dist, tgt, agent_cell, _ = plan_out
         with self.timer.stage("planning"):
             self.nav_grid = grid
-            path = self._path_from_field(
-                np.asarray(dist), np.asarray(tgt),
-                np.asarray(agent_cell))
+            # ONE batched host read for everything the backtrack needs
+            # (dist/tgt/agent + mesh edges/offsets): device_get issues
+            # all copies asynchronously, so a remote backend pays one
+            # round trip, not seven
+            dist_h, tgt_h, agent_h, er, ed, ox, oy = jax.device_get(
+                (dist, tgt, agent_cell, grid.edge_right,
+                 grid.edge_down, grid.off_x, grid.off_y))
+            host_grid = NG.NavGrid(alive=grid.alive, edge_right=er,
+                                   edge_down=ed, off_x=ox, off_y=oy)
+            path = self._path_from_field(dist_h, tgt_h, agent_h,
+                                         grid=host_grid)
         observations["path"] = path
 
         if cfg.reference_compat:
