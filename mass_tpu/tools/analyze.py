@@ -285,6 +285,51 @@ def object_analytics(logdirs):
     return out.sort_values("count", ascending=False)
 
 
+ANALYTICS_XS = ["size", "initial_distance", "initial_min_distance_type"]
+
+
+def _plot_analytics(logdirs, out_path: str, bins: int = 10):
+    """Binned fix-rate curves over object features — the reference's
+    analytics panels (reference: visualize_analytics.py defaults:
+    xs = size / initial_distance / initial_min_distance_type,
+    y = final_correct, 10 bins over misplaced objects)."""
+    import pandas as pd
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    frames = []
+    for logdir in logdirs:
+        for path in glob.glob(os.path.join(logdir, "results",
+                                           "analytics-*.csv")):
+            frames.append(pd.read_csv(path))
+    df = pd.concat(frames, ignore_index=True)
+    misplaced = df[~df["initial_correct"]]
+
+    fig, axes = plt.subplots(1, len(ANALYTICS_XS),
+                             figsize=(4 * len(ANALYTICS_XS), 3.2))
+    for ax, x in zip(np.atleast_1d(axes), ANALYTICS_XS):
+        sub = misplaced[[x, "final_correct"]].dropna()
+        if not len(sub):
+            ax.set_title(f"{x} (no data)")
+            continue
+        edges = np.quantile(sub[x], np.linspace(0, 1, bins + 1))
+        edges = np.unique(edges)
+        centers, rates = [], []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            m = (sub[x] >= lo) & (sub[x] <= hi)
+            if m.any():
+                centers.append((lo + hi) / 2)
+                rates.append(float(sub.loc[m, "final_correct"].mean()))
+        ax.plot(centers, rates, marker="o")
+        ax.set_xlabel(x)
+        ax.set_ylabel("fix rate")
+        ax.set_ylim(-0.05, 1.05)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    print(f"wrote {out_path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("result analysis")
     p.add_argument("command", choices=["metrics", "ablation", "pr",
@@ -293,6 +338,8 @@ def main(argv=None):
     p.add_argument("logdirs", nargs="+")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--radius", type=float, default=1.0)
+    p.add_argument("--bins", type=int, default=10,
+                   help="analytics: quantile bins for fix-rate curves")
     p.add_argument("--param", type=str,
                    default="exploration_budget_one",
                    help="ablation: swept hyperparameter (params-*.json "
@@ -338,6 +385,8 @@ def main(argv=None):
     elif args.command == "analytics":
         table = object_analytics(args.logdirs)
         print(table if table is not None else "no analytics CSVs found")
+        if args.out and table is not None:
+            _plot_analytics(args.logdirs, args.out, bins=args.bins)
     elif args.command == "found":
         curves = found_objects_curves(args.logdirs[0], args.radius)
         for phase, curve in curves.items():

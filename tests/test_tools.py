@@ -163,3 +163,26 @@ def test_object_analytics_aggregation(tmp_path):
     assert table.loc["Mug", "count"] == 2
     assert abs(table.loc["Mug", "fixed_rate"] - 0.5) < 1e-9
     assert "Pen" not in table.index  # initially correct: excluded
+
+
+def test_analytics_fix_rate_plot(tmp_path):
+    """The analytics --out plot bins fix rate over the reference's
+    feature axes (reference: visualize_analytics.py defaults)."""
+    import csv
+    d = tmp_path / "results"
+    d.mkdir()
+    rng = __import__("numpy").random.RandomState(0)
+    rows = [dict(type="Mug", initial_correct=False,
+                 final_correct=bool(i % 2),
+                 initial_distance=float(rng.uniform(0.5, 3.0)),
+                 final_distance=0.1, size=float(rng.uniform(0.01, 0.2)),
+                 initial_min_distance_type="")
+            for i in range(12)]
+    with open(d / "analytics-0.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=[""] + list(rows[0]))
+        w.writeheader()
+        for i, r in enumerate(rows):
+            w.writerow({"": i, **r})
+    out = tmp_path / "analytics.png"
+    analyze._plot_analytics([str(tmp_path)], str(out), bins=4)
+    assert out.exists() and out.stat().st_size > 0
