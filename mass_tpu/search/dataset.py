@@ -114,15 +114,24 @@ def collect_task(sampler, config: AgentConfig,
                 cells1=pack_cells(cells_unshuffle))
 
 
-def small_scene_config(camera_size: int = 48) -> AgentConfig:
-    """The round-2 experiment geometry: camera 48, 80x80x24 @ 0.125 m
-    (docs/experiments.md) — one episode fits a single-CPU host."""
+def small_scene_config(camera_size: int = 48, map_height: int = 80,
+                       map_width: int = 80, map_depth: int = 24,
+                       grid_resolution: float = 0.125,
+                       step_size: int = 2, obstacle_padding: int = 2,
+                       map_slice_start: int = 0,
+                       map_slice_stop: int = 12) -> AgentConfig:
+    """Default geometry: camera 48, 80x80x24 @ 0.125 m
+    (docs/experiments.md) — one episode fits a single-CPU host.  Keep
+    step_size x resolution at the 0.25 m move and obstacle_padding x
+    resolution over the 0.2 m agent radius when scaling (CLAUDE.md)."""
     return AgentConfig(
         camera=CameraConfig(height=camera_size, width=camera_size),
-        map_height=80, map_width=80, map_depth=24,
-        grid_resolution=0.125,
-        nav=NavConfig(step_size=2, obstacle_padding=2,
-                      map_slice_start=0, map_slice_stop=12,
+        map_height=map_height, map_width=map_width,
+        map_depth=map_depth, grid_resolution=grid_resolution,
+        nav=NavConfig(step_size=step_size,
+                      obstacle_padding=obstacle_padding,
+                      map_slice_start=map_slice_start,
+                      map_slice_stop=map_slice_stop,
                       graph_update_interval=5, max_goal_steps=60),
         match=MatchConfig(contour_padding=0, confidence_threshold=0.1,
                           distance_threshold=0.2, max_instances=8),
@@ -135,6 +144,14 @@ def main(argv=None):
     p.add_argument("--start-task", type=int, default=0)
     p.add_argument("--total-tasks", type=int, default=80)
     p.add_argument("--camera-size", type=int, default=48)
+    p.add_argument("--map-height", type=int, default=80)
+    p.add_argument("--map-width", type=int, default=80)
+    p.add_argument("--map-depth", type=int, default=24)
+    p.add_argument("--grid-resolution", type=float, default=0.125)
+    p.add_argument("--step-size", type=int, default=2)
+    p.add_argument("--obstacle-padding", type=int, default=2)
+    p.add_argument("--map-slice-start", type=int, default=0)
+    p.add_argument("--map-slice-stop", type=int, default=12)
     p.add_argument("--max-steps", type=int, default=250)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
@@ -145,7 +162,13 @@ def main(argv=None):
 
     from mass_tpu.env.rearrange import GridWorldTaskSampler
 
-    config = small_scene_config(args.camera_size)
+    config = small_scene_config(
+        args.camera_size, map_height=args.map_height,
+        map_width=args.map_width, map_depth=args.map_depth,
+        grid_resolution=args.grid_resolution, step_size=args.step_size,
+        obstacle_padding=args.obstacle_padding,
+        map_slice_start=args.map_slice_start,
+        map_slice_stop=args.map_slice_stop)
     os.makedirs(args.logdir, exist_ok=True)
     for task_id in range(args.start_task,
                          args.start_task + args.total_tasks):
