@@ -1,6 +1,7 @@
 """Tests for the semantic-search policy: architecture parity with the
 reference torch network, sampling head, and the (new) trainer."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -159,3 +160,27 @@ def test_fit_data_parallel_on_mesh(tmp_path):
     params = load_pytree(str(tmp_path / "ckpt"))
     logits = pol.goal_logits(params, jnp.zeros((1, 16, 16, 3)))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_dataset_collector_custom_geometry(tmp_path):
+    """The collector honors non-default map geometry (the scaling path
+    toward the reference's production 384x384 maps): snapshots come out
+    at the requested shape and labels land inside the map."""
+    from mass_tpu.env.rearrange import GridWorldTaskSampler
+    from mass_tpu.search import dataset as sdata
+
+    cfg = sdata.small_scene_config(
+        32, map_height=96, map_width=96, map_depth=16,
+        grid_resolution=0.125, step_size=2, obstacle_padding=2,
+        map_slice_start=0, map_slice_stop=8)
+    sampler = GridWorldTaskSampler(
+        [7], camera=cfg.camera, max_steps=120, num_objects=2,
+        num_misplaced=1, num_opened=0)
+    data = sdata.collect_task(sampler, cfg, np.random.RandomState(0))
+    assert data["tops0"].shape[1:] == (96, 96, 54)
+    assert data["tops1"].shape[1:] == (96, 96, 54)
+    for key in ("cells0", "cells1"):
+        cells = data[key]
+        assert cells.shape[-1] == 2
+        assert (cells >= 0).all() and (cells < 96).all()
