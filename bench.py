@@ -151,7 +151,7 @@ def main():
     assert BATCH <= 1 or FRAMES % BATCH == 0, (
         f"BENCH_BATCH={BATCH} must divide BENCH_FRAMES={FRAMES} "
         f"(frames are folded into equal per-launch groups)")
-    platform = "tpu"
+    platform = None
     if _axon_plugin_present() and not _wait_for_tunnel():
         # honest fallback: run the SAME jitted pipeline on the host CPU
         # (forced before any backend touch — the env var cannot deselect
@@ -163,8 +163,19 @@ def main():
         platform = "cpu-fallback (axon relay down, retried 3x60s)"
         FRAMES = min(FRAMES, int(os.environ.get(
             "BENCH_FALLBACK_FRAMES", "8")))
+        if BATCH > 1:
+            # keep the frame count a whole number of per-launch groups
+            # (the batched path reshapes into [-1, BATCH] groups)
+            FRAMES = max(BATCH, FRAMES - FRAMES % BATCH)
         print("bench: falling back to CPU measurement", file=sys.stderr)
     tpu_fps = measure_tpu()
+    if platform is None:
+        # label with the backend that actually ran (if the axon plugin
+        # is absent, jax silently defaults to CPU — never report that
+        # as an on-chip number)
+        import jax
+        platform = jax.default_backend()
+    degraded = platform.startswith("cpu")
     cpu_fps = measure_torch_cpu()
     out = {
         "metric": "semantic voxel-map update throughput "
@@ -174,7 +185,7 @@ def main():
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
         "platform": platform,
     }
-    if platform != "tpu":
+    if degraded:
         # the XLA fallback pays a full-map multiplier pass per frame
         # (1.6e9 elements) that the TPU kernel fuses; the recorded
         # on-chip number is the meaningful one

@@ -30,8 +30,9 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=12)
     p.add_argument("--detection-threshold", type=float, default=0.9)
     p.add_argument("--map-size", type=int, default=128,
-                   help="map H=W (depth 32) — SPAN-aligned small "
-                        "geometry so the drive fits host RAM/time")
+                   help="map H=W — SPAN-aligned small geometry so the "
+                        "drive fits host RAM/time; depth is derived so "
+                        "the z-span covers the room floor-to-ceiling")
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
@@ -65,14 +66,19 @@ def main(argv=None):
     ep = RR.generate_episode(args.seed, num_objects=4, num_misplaced=0,
                              num_opened=1, camera=cam)
     world = ep.goal_world
-    sx, _, sz = world.room_size
+    sx, sy, sz = world.room_size
 
-    geo = MapGeometry(args.map_size, args.map_size, 32,
+    res = 2.0 * sx / args.map_size
+    # depth must put the FLOOR inside the z-span (objects rest on y=0;
+    # a span that misses them zeroes every per-class map IoU silently):
+    # cover [0, room height] with bins centred at the span's middle
+    map_depth = int(np.ceil((sy + 2 * res) / (8 * res))) * 8
+    geo = MapGeometry(args.map_size, args.map_size, map_depth,
                       feature_size=taxonomy.NUM_CLASSES,
-                      grid_resolution=4.0 * sx / args.map_size / 2)
+                      grid_resolution=res)
     rays = G.camera_rays(cam.height, cam.width, cam.focal_length,
                          cam.focal_length)
-    origin = (sx / 2, sz / 2, 1.575)
+    origin = (sx / 2, sz / 2, map_depth * res / 2)
     vm_det = VoxelMap.create(geo, origin)
     vm_gt = VoxelMap.create(geo, origin)
 

@@ -95,17 +95,11 @@ class RearrangementAgent:
         self.maps = map_set_cls(
             semantic0=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw),
             semantic1=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw))
-        if config.navigate_on_semantic:
-            # occupancy == semantic0's channel sum when updated in
-            # lockstep (phase one updates both from every frame), so
-            # navigation reads semantic0 and the occupancy layer is
-            # dropped from the hot loop.  One-phase agents navigate the
-            # LIVE world, whose state is semantic1.
-            self.navigation_map = ("semantic1" if config.one_phase
-                                   else "semantic0")
-        else:
+        # the nav-layer rule lives on AgentConfig (shared with both
+        # fleet paths, so their step-for-step parity can't drift)
+        self.navigation_map = config.navigation_map_name
+        if not config.navigate_on_semantic:
             self.maps["occupancy"] = OccupancyMap(cam, **geo_kw)
-            self.navigation_map = "occupancy"
         if config.use_feature_matching:
             assert feature_backbone is not None, (
                 "feature matching needs a backbone")

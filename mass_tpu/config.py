@@ -157,3 +157,17 @@ class AgentConfig:
             map_height=self.map_height, map_width=self.map_width,
             map_depth=self.map_depth, feature_size=feature_size,
             grid_resolution=self.grid_resolution)
+
+    @property
+    def navigation_map_name(self) -> str:
+        """Which map layer the planner reads for traversability.  The
+        SINGLE source of this rule — the sequential agent and both
+        fleet paths navigate the same layer or their step-for-step
+        parity (tests/test_evaluator.py) silently breaks.  One-phase
+        agents navigate the LIVE world (semantic1); two-phase agents
+        the walkthrough map (semantic0, whose channel sum equals the
+        occupancy update when maintained in lockstep); the
+        reference-exact mode keeps a dedicated occupancy layer."""
+        if self.navigate_on_semantic:
+            return "semantic1" if self.one_phase else "semantic0"
+        return "occupancy"

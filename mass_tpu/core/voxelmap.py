@@ -400,31 +400,45 @@ class HostMapToWorld:
     goal sampling): the jnp version compiles a fresh XLA executable for
     every new path LENGTH — un-jitted dynamic-shape calls dominated CPU
     episode time (75 of 126 s/episode was ``backend_compile_and_load``).
-    Midpoint tables are read off the device once per bins identity (bins
-    change only on ``reset``) and the interpolation mirrors
-    ``VoxelMap.map_to_world`` exactly (pinned by tests)."""
+
+    Bins change only on ``reset``, so the midpoint tables are cached.
+    Callers that can name the reset (map layers carry a host-side
+    ``bins_epoch`` counter) pass ``epoch=``, making cache validity free;
+    jitted updates return fresh bins ARRAY OBJECTS every step, so the
+    bare identity fallback refetches per update — fine for one-off
+    callers, a per-step device round trip in a live loop.  The
+    interpolation mirrors ``VoxelMap.map_to_world`` exactly (pinned by
+    tests)."""
 
     def __init__(self):
         self._key = None        # bins_x object (held -> identity stable)
+        self._epoch = None      # caller-declared reset generation
         self._mids = None
 
-    def _tables(self, vm: "VoxelMap"):
+    def _tables(self, vm: "VoxelMap", epoch=None):
         import numpy as np
 
-        if self._key is not vm.bins_x:
-            bx = np.asarray(vm.bins_x)
-            by = np.asarray(vm.bins_y)
-            bz = np.asarray(vm.bins_z)
+        if epoch is not None:
+            stale = self._mids is None or self._epoch != epoch
+        else:
+            stale = self._key is not vm.bins_x
+        if stale:
+            # one batched transfer: device_get issues the three copies
+            # together, so a remote backend pays one round trip
+            bx, by, bz = (np.asarray(b) for b in jax.device_get(
+                (vm.bins_x, vm.bins_y, vm.bins_z)))
             self._mids = ((bx[:-1] + bx[1:]) / 2,
                           ((by[:-1] + by[1:]) / 2)[::-1].copy(),
                           (bz[:-1] + bz[1:]) / 2)
             self._key = vm.bins_x
+            self._epoch = epoch
         return self._mids
 
-    def __call__(self, vm: "VoxelMap", coords) -> "np.ndarray":
+    def __call__(self, vm: "VoxelMap", coords,
+                 epoch=None) -> "np.ndarray":
         import numpy as np
 
-        mids = self._tables(vm)
+        mids = self._tables(vm, epoch=epoch)
         g = vm.geometry
         upper = np.asarray(
             [g.map_width - 1, g.map_height - 1, g.map_depth - 1],

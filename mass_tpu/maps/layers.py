@@ -55,10 +55,15 @@ class _BaseMap:
                                   camera.focal_length,
                                   camera.focal_length)
         self.voxel_map = VoxelMap.create(geometry, origin)
+        # host-side reset generation: bins change ONLY here, so host
+        # midpoint caches (core/voxelmap.HostMapToWorld) key on this
+        # instead of re-reading bins off the device every jitted update
+        self.bins_epoch = 0
 
     def reset(self, origin) -> None:
         self.voxel_map = self.voxel_map.reset(
             jnp.asarray(origin, jnp.float32))
+        self.bins_epoch += 1
 
     # convenience delegation for planner / matcher / visualization
     def world_to_map(self, coords):

@@ -98,6 +98,14 @@ class NavigationController:
     def _occupancy_vm(self):
         return self.maps[self.navigation_map].voxel_map
 
+    def _bins_epoch(self):
+        """Reset generation of the nav map's bins: lets the host
+        map->world cache validate without per-step device reads (jitted
+        updates hand back fresh bins objects every step, so identity
+        keying alone refetches per step)."""
+        return getattr(self.maps[self.navigation_map], "bins_epoch",
+                       None)
+
     def _navigable(self):
         cfg = self.config
         return NG.navigable_area(
@@ -171,7 +179,7 @@ class NavigationController:
                 [np.asarray(src_cell, np.int32)[None], cells], axis=0)
         cells3 = np.concatenate(
             [cells, np.zeros((cells.shape[0], 1), cells.dtype)], axis=1)
-        return self._map_to_world(vm, cells3)
+        return self._map_to_world(vm, cells3, epoch=self._bins_epoch())
 
     def shortest_path(self, source_world, target_world) -> np.ndarray:
         """World-coordinate waypoint path source -> target (reference:
@@ -208,7 +216,8 @@ class NavigationController:
         nodes = self.navigable_node_cells(observations["position"])
         pick = nodes[self.rng.randint(nodes.shape[0])]
         cell3 = np.asarray([pick[0], pick[1], 0], np.float32)
-        return self._map_to_world(self._occupancy_vm(), cell3)
+        return self._map_to_world(self._occupancy_vm(), cell3,
+                                  epoch=self._bins_epoch())
 
     # ------------------------------------------------------ local policy
 

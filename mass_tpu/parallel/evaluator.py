@@ -61,6 +61,10 @@ class _FleetLayerView:
     def voxel_map(self):
         return self._fleet.view(self._name, self._episode)
 
+    @property
+    def bins_epoch(self):
+        return self._fleet.bins_epoch(self._episode)
+
 
 class _Mission:
     """One navigate-to-goal pursuit plus actions to run on arrival."""
@@ -100,15 +104,9 @@ class _Episode:
         fleet.reset(index, (loc.x, loc.z, loc.y))
         maps = {name: _FleetLayerView(fleet, name, index)
                 for name in fleet.names}
-        if config.navigate_on_semantic:
-            # one-phase agents navigate the LIVE world (semantic1),
-            # mirroring agent/loop.py's navigation_map choice
-            nav_name = ("semantic1" if config.one_phase
-                        else "semantic0")
-        else:
-            nav_name = "occupancy"
         self.controller = NavigationController(
-            self.task, nav_name, maps, config.nav, rng=rng)
+            self.task, config.navigation_map_name, maps, config.nav,
+            rng=rng)
         self.task.step(self.task.action_names().index("look_down"))
 
         self.gt_walk: List[np.ndarray] = []
@@ -344,11 +342,7 @@ class FleetEvaluator:
         host every tick copies the full maps and made the fleet SLOWER
         than the sequential agent (measured 3.3x on CPU)."""
         fleet = self.fleet
-        if self.config.navigate_on_semantic:
-            nav_name = ("semantic1" if self.config.one_phase
-                        else "semantic0")
-        else:
-            nav_name = "occupancy"
+        nav_name = self.config.navigation_map_name
         geometry = fleet._episode_geoms[nav_name]
         V = fleet._episode_voxels
         B = fleet.batch

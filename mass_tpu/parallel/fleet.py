@@ -88,6 +88,9 @@ class FleetMaps:
 
         self._step = self._build_step()
         self._reset_slab = self._build_reset()
+        # per-episode reset generation (see maps/layers._BaseMap
+        # .bins_epoch): host midpoint caches key on this
+        self._bins_epochs = [0] * batch
 
     # ------------------------------------------------------------ build
 
@@ -185,6 +188,10 @@ class FleetMaps:
             self._reset_slab(self.buffers, self.bins_x, self.bins_y,
                              self.bins_z, jnp.int32(episode),
                              jnp.asarray(origin, jnp.float32))
+        self._bins_epochs[episode] += 1
+
+    def bins_epoch(self, episode: int) -> int:
+        return self._bins_epochs[episode]
 
     def update_batch(self, positions, yaws, elevations, depths,
                      classes: Dict[str, np.ndarray],

@@ -181,7 +181,13 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
     uniq = np.unique(task_ids)
     rng = np.random.RandomState(seed)
     rng.shuffle(uniq)
-    n_val = max(1, int(len(uniq) * val_fraction))
+    if len(uniq) < 2:
+        raise ValueError(
+            f"need >= 2 tasks for a by-task train/val split, got "
+            f"{len(uniq)} in {data_dir} — collect more tasks "
+            f"(search.dataset --total-tasks)")
+    # by-task split, but never let validation claim the training set
+    n_val = min(max(1, int(len(uniq) * val_fraction)), len(uniq) - 1)
     val_tasks = set(uniq[:n_val].tolist())
     val_mask = np.isin(task_ids, list(val_tasks))
     tr_tops, tr_cells = tops[~val_mask], cells[~val_mask]

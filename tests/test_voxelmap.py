@@ -227,6 +227,48 @@ def test_host_map_to_world_matches_jnp_path():
         host(vm2, cells), np.asarray(vm2.map_to_world(cells)))
 
 
+def test_host_map_to_world_epoch_cache(monkeypatch):
+    """With a caller-declared ``epoch``, the midpoint cache must NOT
+    re-read bins off the device across jitted map updates (they return
+    fresh bins objects every step — identity keying alone refetches per
+    step, a tunnel round trip per planning call), and MUST refetch when
+    a reset bumps the epoch."""
+    import jax as _jax
+    from mass_tpu.config import CameraConfig
+    from mass_tpu.core.voxelmap import HostMapToWorld
+    from mass_tpu.maps.layers import OccupancyMap
+
+    layer = OccupancyMap(CameraConfig(height=8, width=8),
+                         config_geometry=GEO, origin=ORIGIN)
+    host = HostMapToWorld()
+    fetches = {"n": 0}
+    real = _jax.device_get
+
+    def counting(x):
+        fetches["n"] += 1
+        return real(x)
+
+    monkeypatch.setattr("mass_tpu.core.voxelmap.jax.device_get",
+                        counting)
+    cells = np.asarray([[1.0, 2.0, 3.0], [4.0, 1.0, 0.0]], np.float32)
+    first = host(layer.voxel_map, cells, epoch=layer.bins_epoch)
+    assert fetches["n"] == 1
+
+    obs = {"position": np.zeros(3, np.float32), "yaw": 0.1,
+           "elevation": -0.2,
+           "depth": np.full((8, 8, 1), 1.5, np.float32)}
+    layer.update_from_observation(obs)
+    again = host(layer.voxel_map, cells, epoch=layer.bins_epoch)
+    assert fetches["n"] == 1, "update must not invalidate the cache"
+    np.testing.assert_array_equal(first, again)
+
+    layer.reset((1.25, -0.75, 0.5))
+    moved = host(layer.voxel_map, cells, epoch=layer.bins_epoch)
+    assert fetches["n"] == 2, "reset must invalidate the cache"
+    np.testing.assert_array_equal(
+        moved, np.asarray(layer.voxel_map.map_to_world(cells)))
+
+
 def test_clamp_to_world():
     vm = VoxelMap.create(GEO, ORIGIN)
     far = jnp.asarray([100.0, -100.0, 100.0])
