@@ -174,7 +174,8 @@ def main():
         # is absent, jax silently defaults to CPU — never report that
         # as an on-chip number)
         import jax
-        platform = jax.default_backend()
+        backend = jax.default_backend()
+        platform = "tpu" if backend in ("tpu", "axon") else backend
     degraded = platform.startswith("cpu")
     cpu_fps = measure_torch_cpu()
     out = {
