@@ -151,12 +151,18 @@ def sweep_value(logdir: str, param: str):
     return None
 
 
-def ablation_table(logdirs, param: str):
+def ablation_table(logdirs, param: str, group_by: str = None):
     """Group logdirs by swept-parameter value and aggregate each
     group's task results into metric mean ± CI — the curve data of the
     reference's sweep plots (reference:
     visualize_budget_ablation.py:88-90, visualize_detector_ablation.py:
-    metric vs sweep value with seaborn CI bands)."""
+    metric vs sweep value with seaborn CI bands).
+
+    ``group_by`` names a second params-json key that splits the dirs
+    into SERIES (one curve per distinct value) — e.g. sweep
+    ``exploration_budget_one`` grouped by ``policy_checkpoint`` plots
+    random-vs-policy budget curves side by side, like the reference's
+    per-method budget figure."""
     groups: Dict = {}
     for logdir in logdirs:
         value = sweep_value(logdir, param)
@@ -165,32 +171,52 @@ def ablation_table(logdirs, param: str):
                 f"{logdir}: no '{param}' in any params-*.json — pass "
                 f"--param with a key from the CLI's hyperparameter "
                 f"dump")
-        groups.setdefault(value, []).extend(load_results(logdir))
-    table = {}
-    for value in sorted(groups):
-        recs = groups[value]
-        table[value] = {
-            key: mean_ci([r[key] for r in recs if key in r])
-            for key in PRIMARY_METRICS}
-        table[value]["_n"] = len(recs)
-    return table
+        series = (_series_label(sweep_value(logdir, group_by))
+                  if group_by else None)
+        groups.setdefault(series, {}).setdefault(value, []).extend(
+            load_results(logdir))
+    tables = {}
+    for series, by_value in groups.items():
+        table = {}
+        for value in sorted(by_value):
+            recs = by_value[value]
+            table[value] = {
+                key: mean_ci([r[key] for r in recs if key in r])
+                for key in PRIMARY_METRICS}
+            table[value]["_n"] = len(recs)
+        tables[series] = table
+    return tables
 
 
-def _plot_curves(table, param: str, out: str):
+def _series_label(value) -> str:
+    """Readable series name for a grouping value (checkpoint paths
+    shrink to their basename; None means the feature is off)."""
+    if value is None:
+        return "off"
+    if isinstance(value, str) and "/" in value:
+        return os.path.basename(os.path.normpath(value))
+    return str(value)
+
+
+def _plot_curves(tables, param: str, out: str):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     keys = PRIMARY_METRICS[:2]
-    values = list(table)
     fig, axes = plt.subplots(1, len(keys), figsize=(5 * len(keys), 4))
     for ax, key in zip(np.atleast_1d(axes), keys):
-        means = np.asarray([table[v][key][0] for v in values])
-        errs = np.asarray([table[v][key][1] for v in values])
-        ax.plot(values, means, marker="o")
-        ax.fill_between(values, means - errs, means + errs, alpha=0.25)
+        for series, table in tables.items():
+            values = list(table)
+            means = np.asarray([table[v][key][0] for v in values])
+            errs = np.asarray([table[v][key][1] for v in values])
+            line, = ax.plot(values, means, marker="o", label=series)
+            ax.fill_between(values, means - errs, means + errs,
+                            alpha=0.25, color=line.get_color())
         ax.set_xlabel(param)
         ax.set_title(key)
         ax.grid(True, alpha=0.3)
+        if len(tables) > 1:
+            ax.legend(fontsize=8)
     fig.tight_layout()
     fig.savefig(out, dpi=120)
     print(f"wrote {out}")
@@ -345,6 +371,11 @@ def main(argv=None):
                    help="ablation: swept hyperparameter (params-*.json "
                         "key, e.g. exploration_budget_one, "
                         "detection_threshold)")
+    p.add_argument("--group-by", type=str, default=None,
+                   help="ablation: second params key splitting the "
+                        "dirs into one curve per value (e.g. "
+                        "policy_checkpoint for random-vs-policy "
+                        "budget curves)")
     args = p.parse_args(argv)
 
     if args.command == "metrics":
@@ -356,14 +387,18 @@ def main(argv=None):
         if args.out:
             _plot_bars(table, args.out)
     elif args.command == "ablation":
-        table = ablation_table(args.logdirs, args.param)
-        for value, row in table.items():
-            print(f"{args.param} = {value}  (n={row['_n']})")
-            for key in PRIMARY_METRICS:
-                mean, ci = row[key]
-                print(f"  {key:42s} {mean:8.4f} ± {ci:.4f}")
+        tables = ablation_table(args.logdirs, args.param,
+                                group_by=args.group_by)
+        for series, table in tables.items():
+            if series is not None:
+                print(f"[{args.group_by} = {series}]")
+            for value, row in table.items():
+                print(f"{args.param} = {value}  (n={row['_n']})")
+                for key in PRIMARY_METRICS:
+                    mean, ci = row[key]
+                    print(f"  {key:42s} {mean:8.4f} ± {ci:.4f}")
         if args.out:
-            _plot_curves(table, args.param, args.out)
+            _plot_curves(tables, args.param, args.out)
     elif args.command == "pr":
         stats = precision_recall(args.logdirs)
         for name, s in stats.items():

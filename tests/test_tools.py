@@ -96,7 +96,8 @@ def test_ablation_sweep(tmp_path):
             json.dump({"exploration_budget_one": budget}, f)
         dirs.append(d)
 
-    table = analyze.ablation_table(dirs, "exploration_budget_one")
+    tables = analyze.ablation_table(dirs, "exploration_budget_one")
+    table = tables[None]                    # ungrouped: single series
     assert list(table) == [2, 6]            # sorted by swept value
     assert table[2]["_n"] == 3              # groups pool across dirs
     m2, _ = table[2]["unshuffle/prop_fixed_strict"]
@@ -104,8 +105,25 @@ def test_ablation_sweep(tmp_path):
     assert abs(m2 - 1.0 / 3) < 1e-6 and m6 == 1.0
 
     out = tmp_path / "curves.png"
-    analyze._plot_curves(table, "exploration_budget_one", str(out))
+    analyze._plot_curves(tables, "exploration_budget_one", str(out))
     assert out.exists() and out.stat().st_size > 0
+
+    # --group-by splits the dirs into one curve per value of a second
+    # params key (reference's per-method budget figure)
+    for d, ckpt in zip(dirs, ("p.pth", "p.pth", None)):
+        with open(os.path.join(d, "params-0-1.json")) as f:
+            params = json.load(f)
+        params["policy_checkpoint"] = ckpt
+        with open(os.path.join(d, "params-0-1.json"), "w") as f:
+            json.dump(params, f)
+    grouped = analyze.ablation_table(dirs, "exploration_budget_one",
+                                     group_by="policy_checkpoint")
+    assert set(grouped) == {"p.pth", "off"}
+    assert list(grouped["p.pth"]) == [2] and list(grouped["off"]) == [6]
+    assert grouped["p.pth"][2]["_n"] == 3
+    out2 = tmp_path / "curves2.png"
+    analyze._plot_curves(grouped, "exploration_budget_one", str(out2))
+    assert out2.exists() and out2.stat().st_size > 0
 
     # the failure-mode and precision/recall plots render from the same
     # logdirs (reference: visualize_remainder.py,
