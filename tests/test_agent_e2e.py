@@ -40,10 +40,32 @@ def test_agent_episode_with_gt_search(tmp_path):
     sampler = GridWorldTaskSampler([21], camera=CAM, max_steps=200,
                                    num_objects=3, num_misplaced=1,
                                    num_opened=0)
+
+    frames = []
+
+    class _CaptureWriter:
+        def write(self, frame):
+            frames.append(frame)
+
+        def close(self):
+            frames.append("closed")
+
     agent = RearrangementAgent(cfg, sampler,
-                               rng=np.random.RandomState(0))
+                               rng=np.random.RandomState(0),
+                               video_writer_factory=lambda
+                               task_id: _CaptureWriter())
     results = agent.run()
     assert len(results) == 1
+    # episode video frames: the 4-panel composite (rgb | occupancy+path
+    # | semantic0 | semantic1 — reference: agent.py:51-104) was written
+    # per step and the writer closed
+    assert frames and frames[-1] == "closed"
+    panels = [f for f in frames if not isinstance(f, str)]
+    assert len(panels) > 10
+    f0 = panels[0]
+    assert f0.dtype == np.uint8 and f0.ndim == 3 and f0.shape[2] == 3
+    assert f0.shape[1] > f0.shape[0]    # panels concatenate horizontally
+    assert any(p.max() > 0 for p in panels)
     m = results[0]
     assert m["unshuffle/num_initially_misplaced"] >= 1
     # per-stage timing observability (SURVEY.md §5.1)
