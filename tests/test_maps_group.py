@@ -103,3 +103,61 @@ def test_one_phase_mapset_goal_remap():
     # the two streams differ (different depth/classes)
     assert not np.allclose(np.asarray(maps["semantic0"].voxel_map.data),
                            np.asarray(maps["semantic1"].voxel_map.data))
+
+
+def test_clip_map_centre_ray_and_query_render():
+    """ClipMap semantics (reference: clip_projection_layer.py:124-194):
+    the whole-image embedding lands at the image-centre ray's voxel
+    only, and the query heat-map (reference: :227-281) separates two
+    embeddings spatially."""
+    from mass_tpu.maps import ClipMap
+    from mass_tpu.utils.visualization import render_feature_query
+
+    F = 128   # vmajor layout wants lane-aligned features
+
+    def encoder(rgb):
+        mean = jnp.mean(rgb.reshape(-1, 3), axis=0)
+        return jnp.tile(mean, 44)[:F]
+
+    clip = ClipMap(CameraConfig(height=24, width=24), F, encoder,
+                   map_height=32, map_width=32, map_depth=8,
+                   grid_resolution=0.125)
+
+    def obs(rgb_color, yaw):
+        return dict(position=np.zeros(3, np.float32),
+                    yaw=np.float32(yaw), elevation=np.float32(0.0),
+                    depth=np.full((24, 24, 1), 1.0, np.float32),
+                    rgb=np.broadcast_to(
+                        np.asarray(rgb_color, np.float32),
+                        (24, 24, 3)).copy())
+
+    red, blue = (1.0, 0.0, 0.0), (0.0, 0.0, 1.0)
+    clip.update_from_observation(obs(red, 0.0))
+    top1 = np.asarray(clip.voxel_map.top_down(0, 8))
+    cells1 = set(zip(*np.nonzero(np.any(top1 != 0, axis=-1))))
+    # one centre ray -> at most a couple of trilinear-neighbour cells
+    assert 1 <= len(cells1) <= 4
+    # the stored feature points along the red embedding
+    cell = next(iter(cells1))
+    v = top1[cell[0], cell[1]]
+    q = np.asarray(encoder(jnp.asarray(obs(red, 0.0)["rgb"])))
+    cos = v @ q / (np.linalg.norm(v) * np.linalg.norm(q))
+    assert cos > 0.999
+
+    clip.update_from_observation(obs(blue, np.pi))
+    top2 = np.asarray(clip.voxel_map.top_down(0, 8))
+    cells2 = set(zip(*np.nonzero(np.any(top2 != 0, axis=-1))))
+    blue_cells = cells2 - cells1
+    assert blue_cells and not (blue_cells & cells1)
+
+    heat = render_feature_query(
+        clip.voxel_map,
+        np.stack([np.asarray(encoder(jnp.asarray(obs(c, 0)["rgb"])))
+                  for c in (red, blue)]), 0, 8)
+    r_cell = next(iter(cells1))
+    b_cell = next(iter(blue_cells))
+    assert heat[r_cell[0], r_cell[1], 0] > 0.9   # red query wins here
+    assert heat[b_cell[0], b_cell[1], 0] < 0.1   # blue cell rejects it
+    # unobserved cells render as white background
+    empty = ~np.any(top2 != 0, axis=-1)
+    assert np.all(heat[empty] == 1.0)
