@@ -36,8 +36,40 @@ def load_results(logdir: str) -> List[Dict]:
         with open(path) as f:
             rec = json.load(f)
         rec["_logdir"] = os.path.basename(os.path.normpath(logdir))
+        rec["_task"] = os.path.splitext(os.path.basename(path))[0]
         out.append(rec)
     return out
+
+
+def paired_compare(dir_a: str, dir_b: str,
+                   metric: str = "unshuffle/prop_fixed_strict") -> Dict:
+    """Matched-seed comparison of two arms: pooled means ± CI over the
+    COMMON task ids, per-task win/loss counts, and an exact McNemar
+    test on the discordant pairs (binary metrics).  Beyond the
+    reference's tooling — its figures show pooled bars only
+    (visualize_metrics.py), which round-3 sweeps showed can be
+    noise-inflated at small n (docs/experiments.md, 160-geometry
+    null): episode outcomes on matched seeds are heavily correlated,
+    so the paired test is the honest one."""
+    from scipy import stats
+    a = {r["_task"]: r.get(metric) for r in load_results(dir_a)}
+    b = {r["_task"]: r.get(metric) for r in load_results(dir_b)}
+    common = sorted(set(a) & set(b), key=lambda t: (len(t), t))
+    if not common:
+        raise SystemExit(f"no common task ids between {dir_a} and "
+                         f"{dir_b}")
+    va = np.asarray([a[t] for t in common], np.float64)
+    vb = np.asarray([b[t] for t in common], np.float64)
+    wins = int(((va > vb)).sum())
+    losses = int(((va < vb)).sum())
+    if wins + losses:
+        p = float(stats.binomtest(wins, wins + losses, 0.5).pvalue)
+    else:
+        p = 1.0
+    return dict(n=len(common),
+                mean_a=mean_ci(va), mean_b=mean_ci(vb),
+                wins=wins, losses=losses, ties=len(common) - wins -
+                losses, mcnemar_p=p, metric=metric)
 
 
 def mean_ci(values, confidence: float = 0.68):
@@ -360,7 +392,7 @@ def main(argv=None):
     p = argparse.ArgumentParser("result analysis")
     p.add_argument("command", choices=["metrics", "ablation", "pr",
                                        "found", "failures",
-                                       "analytics"])
+                                       "analytics", "compare"])
     p.add_argument("logdirs", nargs="+")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--radius", type=float, default=1.0)
@@ -376,6 +408,9 @@ def main(argv=None):
                         "dirs into one curve per value (e.g. "
                         "policy_checkpoint for random-vs-policy "
                         "budget curves)")
+    p.add_argument("--metric", type=str,
+                   default="unshuffle/prop_fixed_strict",
+                   help="compare: results-json key to pair on")
     args = p.parse_args(argv)
 
     if args.command == "metrics":
@@ -422,6 +457,18 @@ def main(argv=None):
         print(table if table is not None else "no analytics CSVs found")
         if args.out and table is not None:
             _plot_analytics(args.logdirs, args.out, bins=args.bins)
+    elif args.command == "compare":
+        if len(args.logdirs) != 2:
+            raise SystemExit("compare takes exactly two logdirs")
+        r = paired_compare(args.logdirs[0], args.logdirs[1],
+                           metric=args.metric)
+        (ma, ca), (mb, cb) = r["mean_a"], r["mean_b"]
+        print(f"{r['metric']}  (n={r['n']} matched tasks)")
+        print(f"  {args.logdirs[0]:40s} {ma:8.4f} ± {ca:.4f}")
+        print(f"  {args.logdirs[1]:40s} {mb:8.4f} ± {cb:.4f}")
+        print(f"  paired: A-wins {r['wins']}  B-wins {r['losses']}  "
+              f"ties {r['ties']}  exact McNemar p = "
+              f"{r['mcnemar_p']:.4f}")
     elif args.command == "found":
         curves = found_objects_curves(args.logdirs[0], args.radius)
         for phase, curve in curves.items():

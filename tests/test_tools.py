@@ -204,3 +204,30 @@ def test_analytics_fix_rate_plot(tmp_path):
     out = tmp_path / "analytics.png"
     analyze._plot_analytics([str(tmp_path)], str(out), bins=4)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_paired_compare(tmp_path):
+    """compare pairs two arms on common task ids and runs an exact
+    McNemar test on the discordant outcomes (pooled bars alone are
+    noise-inflated at small n — see docs/experiments.md)."""
+    def rec(fixed):
+        return {"unshuffle/prop_fixed_strict": fixed,
+                "unshuffle/success": float(fixed == 1.0),
+                "unshuffle/num_initially_misplaced": 1,
+                "unshuffle/num_newly_misplaced": 0}
+
+    # A wins tasks 0-4, B wins task 5, ties 6-7; task 99 only in A
+    a = _fake_results(tmp_path, "arm-a",
+                      [rec(v) for v in (1, 1, 1, 1, 1, 0, 1, 0)])
+    b = _fake_results(tmp_path, "arm-b",
+                      [rec(v) for v in (0, 0, 0, 0, 0, 1, 1, 0)])
+    with open(os.path.join(a, "results", "99.json"), "w") as f:
+        json.dump(rec(1.0), f)
+
+    out = analyze.paired_compare(a, b)
+    assert out["n"] == 8                    # 99 unmatched -> excluded
+    assert out["wins"] == 5 and out["losses"] == 1 and out["ties"] == 2
+    # exact binomial: 2 * (1 + 6) / 2**6
+    assert abs(out["mcnemar_p"] - 2 * 7 / 64) < 1e-9
+    assert abs(out["mean_a"][0] - 6 / 8) < 1e-9
+    assert abs(out["mean_b"][0] - 2 / 8) < 1e-9
