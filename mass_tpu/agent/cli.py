@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="same-class same-size tinted object pairs with "
                         "one member misplaced: the size-ambiguous "
                         "scenario --use-feature-matching resolves")
+    p.add_argument("--room-size", type=float, default=6.0,
+                   help="grid-world room side in metres (bigger rooms "
+                        "make exploration scarce, the regime where "
+                        "search policies matter)")
 
     p.add_argument("--ground-truth-segmentation", action="store_true")
     p.add_argument("--detector-checkpoint", type=str, default=None,
@@ -237,7 +241,8 @@ def make_sampler(args, config: AgentConfig):
             num_objects=args.num_objects,
             num_misplaced=args.num_misplaced,
             num_opened=args.num_opened,
-            duplicate_class_pairs=args.duplicate_class_pairs)
+            duplicate_class_pairs=args.duplicate_class_pairs,
+            room=(args.room_size, 2.5, args.room_size))
     sensor = load_segmentation_sensor(args)
     if sensor is not None:
         from mass_tpu.perception.segmentation import SegmentationSampler
@@ -309,7 +314,8 @@ def run_fleet(args, config, policy=None):
             num_objects=args.num_objects,
             num_misplaced=args.num_misplaced,
             num_opened=args.num_opened,
-            duplicate_class_pairs=args.duplicate_class_pairs)
+            duplicate_class_pairs=args.duplicate_class_pairs,
+            room=(args.room_size, 2.5, args.room_size))
             for s in batch]
         evaluator = FleetEvaluator(
             config, samplers, seeds=[args.seed + s for s in batch],

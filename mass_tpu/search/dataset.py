@@ -153,6 +153,9 @@ def main(argv=None):
     p.add_argument("--map-slice-start", type=int, default=0)
     p.add_argument("--map-slice-stop", type=int, default=12)
     p.add_argument("--max-steps", type=int, default=250)
+    p.add_argument("--room-size", type=float, default=6.0,
+                   help="room side in metres (match the evaluation "
+                        "scenes' --room-size)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
@@ -177,7 +180,8 @@ def main(argv=None):
             continue
         sampler = GridWorldTaskSampler(
             [task_id], camera=config.camera, max_steps=args.max_steps,
-            num_objects=2, num_misplaced=1, num_opened=0)
+            num_objects=2, num_misplaced=1, num_opened=0,
+            room=(args.room_size, 2.5, args.room_size))
         rng = np.random.RandomState(args.seed + task_id)
         data = collect_task(sampler, config, rng)
         np.savez_compressed(out, **data)
