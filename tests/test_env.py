@@ -110,6 +110,20 @@ def test_metrics_initial_state():
     assert m["unshuffle/success"] == 0.0
 
 
+def test_episode_room_size():
+    # --room-size plumbs through to the world and the object sampler
+    # (bigger rooms = the exploration-scarcity regime).
+    ep = RR.generate_episode(0, num_objects=4, num_misplaced=2,
+                             num_opened=0, room=(12.0, 2.5, 12.0),
+                             camera=CAM)
+    assert tuple(ep.world.room_size) == (12.0, 2.5, 12.0)
+    pos = np.array([o.position for o in ep.world.objects])
+    xz = pos[:, [0, 2]]
+    assert xz.min() >= 0.8 and xz.max() <= 12.0 - 0.8
+    # seed 0 places objects beyond the default 6 m room's bounds
+    assert xz.max() > 6.0
+
+
 def test_sampler_alternates_phases():
     sampler = RR.GridWorldTaskSampler([0, 1], camera=CAM)
     t1 = sampler.next_task()
