@@ -148,11 +148,12 @@ def failure_modes(logdirs) -> Dict[str, int]:
     return counts
 
 
-def found_objects_curves(logdir: str, radius: float = 1.0):
-    """% objects approached within ``radius`` vs timestep, from the
+def found_objects_stats(logdir: str, radius: float = 1.0):
+    """Per-phase (mean curve, sem curve, n tasks) of the fraction of
+    objects approached within ``radius`` by each timestep, from the
     recorded distance matrices (reference:
     visualize_found_objects.py:37-107)."""
-    curves = {}
+    stats = {}
     for phase in ("walkthrough", "unshuffle"):
         per_task = []
         for path in glob.glob(os.path.join(
@@ -165,8 +166,16 @@ def found_objects_curves(logdir: str, radius: float = 1.0):
             padded = np.stack([
                 np.pad(c, (0, n - len(c)), constant_values=c[-1])
                 for c in per_task])
-            curves[phase] = padded.mean(axis=0)
-    return curves
+            sem = (padded.std(axis=0, ddof=1) / np.sqrt(len(padded))
+                   if len(padded) > 1 else np.zeros(n))
+            stats[phase] = (padded.mean(axis=0), sem, len(padded))
+    return stats
+
+
+def found_objects_curves(logdir: str, radius: float = 1.0):
+    """Mean %found-vs-timestep curves (see found_objects_stats)."""
+    return {phase: mean for phase, (mean, _, _)
+            in found_objects_stats(logdir, radius).items()}
 
 
 def sweep_value(logdir: str, param: str):
@@ -470,20 +479,41 @@ def main(argv=None):
               f"ties {r['ties']}  exact McNemar p = "
               f"{r['mcnemar_p']:.4f}")
     elif args.command == "found":
-        curves = found_objects_curves(args.logdirs[0], args.radius)
-        for phase, curve in curves.items():
-            print(f"{phase}: found {curve[-1]*100:.1f}% by step "
-                  f"{len(curve)}")
-        if args.out and curves:
+        # one logdir: phase curves; several: overlay the arms with
+        # 68% CI bands — the exploration-efficiency comparison
+        # (reference: visualize_found_objects.py overlays methods)
+        per_dir = {d: found_objects_stats(d, args.radius)
+                   for d in args.logdirs}
+        for d, stats in per_dir.items():
+            for phase, (mean, _, n) in stats.items():
+                half = np.argmax(mean >= 0.5) if (mean >= 0.5).any() \
+                    else None
+                half_s = f"50% by step {half}" if half is not None \
+                    else "never reaches 50%"
+                print(f"{os.path.basename(d.rstrip('/'))} {phase} "
+                      f"(n={n}): {half_s}; final {mean[-1]*100:.1f}% "
+                      f"by step {len(mean)}")
+        if args.out and any(per_dir.values()):
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
-            fig, ax = plt.subplots(figsize=(6, 4))
-            for phase, curve in curves.items():
-                ax.plot(curve * 100, label=phase)
+            fig, ax = plt.subplots(figsize=(6.5, 4))
+            styles = {"walkthrough": "-", "unshuffle": "--"}
+            for i, (d, stats) in enumerate(per_dir.items()):
+                color = f"C{i}"
+                for phase, (mean, sem, n) in stats.items():
+                    label = (f"{os.path.basename(d.rstrip('/'))} "
+                             f"{phase}" if len(per_dir) > 1 else phase)
+                    x = np.arange(len(mean))
+                    ax.plot(x, mean * 100, styles.get(phase, "-"),
+                            color=color, label=label)
+                    ax.fill_between(x, (mean - sem) * 100,
+                                    (mean + sem) * 100, color=color,
+                                    alpha=0.15, linewidth=0)
             ax.set_xlabel("timestep")
             ax.set_ylabel(f"% objects within {args.radius} m")
-            ax.legend()
+            ax.set_ylim(0, 102)
+            ax.legend(fontsize=8)
             fig.tight_layout()
             fig.savefig(args.out, dpi=120)
             print(f"wrote {args.out}")

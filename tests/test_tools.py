@@ -146,6 +146,20 @@ def test_found_objects_curve(tmp_path):
     curves = analyze.found_objects_curves(str(tmp_path))
     np.testing.assert_allclose(curves["walkthrough"],
                                [0, 0, 0.5, 1.0])
+    # multi-arm overlay: second logdir + CI bands through the CLI
+    d2 = tmp_path / "arm-b" / "results"
+    d2.mkdir(parents=True)
+    np.save(d2 / "objects-found-walkthrough-0.npy", dist)
+    np.save(d2 / "objects-found-walkthrough-1.npy", dist * 0.25)
+    mean, sem, n = analyze.found_objects_stats(
+        str(tmp_path / "arm-b"))["walkthrough"]
+    assert n == 2 and sem.shape == mean.shape
+    np.testing.assert_allclose(mean, [0.25, 0.5, 0.75, 1.0])
+    np.testing.assert_allclose(sem[0], 0.25)
+    out = tmp_path / "found.png"
+    analyze.main(["found", str(tmp_path), str(tmp_path / "arm-b"),
+                  "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 0
 
 
 def test_detector_dataset(tmp_path):
