@@ -80,12 +80,16 @@ def measure_tpu():
 
     vm = VoxelMap.create(geo, (0.0, 0.0, 0.0))
     vm = run_chunk(vm, *chunk(FRAMES))      # warmup / compile
-    float(vm.data.reshape(-1)[0])            # force full sync
+    float(vm.data[0, 0])                     # force full sync
 
     frames = chunk(FRAMES)
     t0 = time.perf_counter()
     vm = run_chunk(vm, *frames)
-    float(vm.data.reshape(-1)[0])
+    # host readback of ONE element: real sync on the async tunnel
+    # without dispatching extra work (the previous full reshape
+    # readback copied the whole 3 GB map — amortized over 128 on-chip
+    # frames, but dominant in the 8-frame degraded-mode window)
+    float(vm.data[0, 0])
     dt = time.perf_counter() - t0
     return FRAMES / dt
 

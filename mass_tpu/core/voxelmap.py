@@ -46,7 +46,15 @@ def _padded_features(g: MapGeometry) -> int:
 def _resolved_layout(g: MapGeometry) -> str:
     layout = getattr(g, "layout", "auto")
     if layout == "auto":
-        return "vmajor" if g.feature_size % 128 == 0 else "cmajor"
+        if g.feature_size % 128 == 0:
+            return "vmajor"
+        # small-F one-hot maps: channel-major on TPU (zero lane padding,
+        # Pallas spans); voxel-major on host backends, where lane padding
+        # is moot and the sparse row update (ops/scatter.
+        # apply_onehot_vmajor) avoids cmajor's full-map multiplier pass
+        # (~6 GB/frame of CPU memory traffic at the 384x384x96x54
+        # production geometry — see docs/performance.md)
+        return "cmajor" if jax.default_backend() == "tpu" else "vmajor"
     return layout
 
 
@@ -163,8 +171,14 @@ class VoxelMap:
     def apply_onehot(self, ids, weights, classes,
                      use_kernel: bool = None) -> "VoxelMap":
         """EMA-blend one frame's one-hot contributions into the map."""
-        assert self.layout == "cmajor", "class updates need cmajor maps"
         g = self.geometry
+        if self.layout == "vmajor":
+            assert not use_kernel, (
+                "the Pallas splat kernel needs cmajor storage")
+            data = S.apply_onehot_vmajor(
+                self.data, ids, weights, classes.reshape(-1),
+                g.interpolation_weight)
+            return dataclasses.replace(self, data=data)
         on_tpu = jax.default_backend() == "tpu"
         if use_kernel is None:
             use_kernel = on_tpu and g.num_voxels % PS.SPAN == 0
@@ -214,7 +228,6 @@ class VoxelMap:
           depths: ``[T, h, w, 1]``; classes: ``[T, ch, cw]`` (integer,
           upsampled to the ray grid).
         """
-        assert self.layout == "cmajor"
         g = self.geometry
         h, w = rays.shape[0], rays.shape[1]
         classes = jax.vmap(
@@ -226,18 +239,24 @@ class VoxelMap:
         )(positions, yaws, elevations, depths)
         on_tpu = jax.default_backend() == "tpu"
         if use_kernel is None:
-            use_kernel = on_tpu and g.num_voxels % PS.SPAN == 0
+            use_kernel = (on_tpu and self.layout == "cmajor"
+                          and g.num_voxels % PS.SPAN == 0)
         if use_kernel:
+            assert self.layout == "cmajor", (
+                "the Pallas splat kernel needs cmajor storage")
             data = PS.splat_onehot_frames_cmajor(
                 self.data, ids, weights,
                 classes.reshape(classes.shape[0], -1),
                 g.interpolation_weight, interpret=not on_tpu)
             return dataclasses.replace(self, data=data)
 
+        apply_fn = (S.apply_onehot_vmajor if self.layout == "vmajor"
+                    else S.apply_onehot_cmajor)
+
         def body(data, frame):
             i, wt, cls = frame
-            return S.apply_onehot_cmajor(
-                data, i, wt, cls, g.interpolation_weight), None
+            return apply_fn(data, i, wt, cls,
+                            g.interpolation_weight), None
         data, _ = jax.lax.scan(
             body, self.data,
             (ids, weights, classes.reshape(classes.shape[0], -1)))
@@ -472,14 +491,16 @@ def apply_onehot_group(vms, ids, weights, classes_list,
     """
     vms = list(vms)
     classes_list = [c.reshape(-1) for c in classes_list]
-    assert all(vm.layout == "cmajor" for vm in vms)
+    assert all(vm.layout in ("cmajor", "vmajor") for vm in vms)
     num_voxels = vms[0].geometry.num_voxels
     on_tpu = jax.default_backend() == "tpu"
+    all_cmajor = all(vm.layout == "cmajor" for vm in vms)
     if use_kernel is None:
-        use_kernel = (on_tpu and num_voxels % PS.SPAN == 0
+        use_kernel = (on_tpu and all_cmajor
+                      and num_voxels % PS.SPAN == 0
                       and len(vms) <= 4
                       and all(vm.data.shape[0] < 256 for vm in vms))
-    if use_kernel and len(vms) > 1:
+    if use_kernel and len(vms) > 1 and all_cmajor:
         datas = PS.splat_onehot_multi_cmajor(
             tuple(vm.data for vm in vms), ids, weights,
             tuple(classes_list),

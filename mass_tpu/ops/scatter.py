@@ -140,6 +140,49 @@ def apply_onehot_cmajor(data: jax.Array, ids: jax.Array,
                                      mode="drop")
 
 
+def apply_onehot_vmajor(data: jax.Array, ids: jax.Array,
+                        weights: jax.Array, classes: jax.Array,
+                        interpolation_weight: float) -> jax.Array:
+    """Apply one-hot corner contributions to a voxel-major ``[V, F]``
+    map, touching ONLY contributed rows.
+
+    The cmajor variant pays a full-map multiplier pass per frame — the
+    right call on TPU, where the [F, V] layout keeps lanes dense and the
+    Pallas kernel fuses the pass, but ruinous on host backends: at the
+    reference's production geometry (384x384x96x54) that pass streams
+    ~6 GB/frame while only ~4e5 of 7.7e8 elements change.  Here the
+    multiplier lands sparsely instead: gather the touched rows, scale by
+    the per-voxel EMA multiplier, scatter-*set* them back (duplicate
+    corner ids all compute the identical product of OLD row x multiplier,
+    so the set is deterministic and needs no dedup/sort), then add the
+    per-record one-hot term with a flat scalar scatter.  Algebra is
+    exactly :func:`apply_onehot_cmajor` (reference semantics:
+    mass/utils/projection.py:335-351).
+
+    Args:
+      data: ``[V, F]`` map (F unpadded — lane padding is a TPU concern).
+      ids / weights: ``[8N]`` corner voxel ids and weights (id ``V`` =
+        the discard slot for invalid pixels).
+      classes: ``[N]`` integer feature channel per pixel.
+    """
+    num_voxels, num_features = data.shape
+    assert num_voxels * num_features < 2**31, (
+        "flat one-hot scatter addresses must fit int32")
+    mult, scale = _blend_fields(ids, weights, num_voxels,
+                                interpolation_weight)
+    valid = ids < num_voxels
+    rows = jnp.where(valid, ids, num_voxels)  # OOB row -> dropped
+    clamped = jnp.minimum(ids, num_voxels - 1)
+    new_rows = data[clamped] * mult[clamped][:, None].astype(data.dtype)
+    data = data.at[rows].set(new_rows, mode="drop")
+    cf = jnp.tile(classes, 8)
+    addr = jnp.where(valid, rows * num_features + cf,
+                     num_voxels * num_features)
+    flat = data.reshape(-1).at[addr].add(
+        jnp.where(valid, scale, 0.0).astype(data.dtype), mode="drop")
+    return flat.reshape(num_voxels, num_features)
+
+
 def _segmented_sum_scan(values: jax.Array, heads: jax.Array) -> jax.Array:
     """Inclusive segmented prefix sum: resets at each head.  ``values``
     may have trailing dims; ``heads`` is [N] bool."""

@@ -11,8 +11,11 @@ from mass_tpu.core.voxelmap import VoxelMap
 from mass_tpu.parallel.fleet import FleetMaps
 
 CAM = CameraConfig(height=12, width=12)
+# layout pinned: FleetMaps stores cmajor (parallel/fleet.py), and these
+# tests compare its buffers element-for-element against single maps —
+# which under "auto" would resolve to vmajor on the CPU test backend
 GEO = MapGeometry(map_height=24, map_width=24, map_depth=8,
-                  grid_resolution=0.25)
+                  grid_resolution=0.25, layout="cmajor")
 B = 3
 
 

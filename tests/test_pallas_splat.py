@@ -13,9 +13,11 @@ from mass_tpu.ops.scatter import (apply_onehot_cmajor,
                                   corner_contributions, segment_totals)
 from tests import reference_impl as R
 
-# smallest geometry whose V is a SPAN multiple: 32*16*4 = 2048
+# smallest geometry whose V is a SPAN multiple: 32*16*4 = 2048.
+# Layout pinned: these tests exercise the TPU kernel (interpret mode on
+# the CPU suite), and "auto" resolves to vmajor on host backends.
 GEO = MapGeometry(map_height=32, map_width=16, map_depth=4,
-                  feature_size=6, grid_resolution=0.2)
+                  feature_size=6, grid_resolution=0.2, layout="cmajor")
 CAM = dict(h=9, w=11, f=7.0)
 
 

@@ -17,8 +17,12 @@ def test_voxel_update_matches_torch_pipeline(use_kernel):
     from benchmarks import torch_baseline as tb
 
     h_img = w_img = 24
+    # the Pallas kernel needs cmajor storage; the XLA variant runs on
+    # "auto" (vmajor on the CPU test backend) so torch parity covers
+    # both host layouts across the parametrization
     geo = MapGeometry(map_height=32, map_width=16, map_depth=4,
-                      feature_size=6, grid_resolution=0.2)
+                      feature_size=6, grid_resolution=0.2,
+                      layout="cmajor" if use_kernel else "auto")
     state = tb.make_state(geo.map_height, geo.map_width, geo.map_depth,
                           geo.feature_size,
                           grid_resolution=geo.grid_resolution,
