@@ -166,8 +166,6 @@ def apply_onehot_vmajor(data: jax.Array, ids: jax.Array,
       classes: ``[N]`` integer feature channel per pixel.
     """
     num_voxels, num_features = data.shape
-    assert num_voxels * num_features < 2**31, (
-        "flat one-hot scatter addresses must fit int32")
     mult, scale = _blend_fields(ids, weights, num_voxels,
                                 interpolation_weight)
     valid = ids < num_voxels
@@ -176,11 +174,17 @@ def apply_onehot_vmajor(data: jax.Array, ids: jax.Array,
     new_rows = data[clamped] * mult[clamped][:, None].astype(data.dtype)
     data = data.at[rows].set(new_rows, mode="drop")
     cf = jnp.tile(classes, 8)
-    addr = jnp.where(valid, rows * num_features + cf,
-                     num_voxels * num_features)
-    flat = data.reshape(-1).at[addr].add(
-        jnp.where(valid, scale, 0.0).astype(data.dtype), mode="drop")
-    return flat.reshape(num_voxels, num_features)
+    scale = jnp.where(valid, scale, 0.0).astype(data.dtype)
+    if num_voxels * num_features < 2**31:
+        # flat 1-D scalar scatter (the fast path on every backend)
+        addr = jnp.where(valid, rows * num_features + cf,
+                         num_voxels * num_features)
+        flat = data.reshape(-1).at[addr].add(scale, mode="drop")
+        return flat.reshape(num_voxels, num_features)
+    # flat addresses would overflow int32 (e.g. a large fleet slab
+    # B*V*F >= 2^31): fall back to the 2-D element scatter — fine on
+    # host backends, where this path runs
+    return data.at[rows, cf].add(scale, mode="drop")
 
 
 def _segmented_sum_scan(values: jax.Array, heads: jax.Array) -> jax.Array:

@@ -310,9 +310,11 @@ class FleetEvaluator:
                     "semantic1": taxonomy.NUM_CLASSES}
         if not config.navigate_on_semantic:
             families["occupancy"] = 1
-        geometry = dataclasses.replace(
-            _geometry_of(config), layout="cmajor")
-        self.fleet = FleetMaps(B, config.camera, geometry, families)
+        # layout "auto": FleetMaps resolves it by backend (cmajor slabs
+        # on TPU for the Pallas span kernels, vmajor sparse rows on
+        # host backends — docs/performance.md)
+        self.fleet = FleetMaps(B, config.camera, _geometry_of(config),
+                               families)
 
         policy = None
         if policy_params is not None:
@@ -359,11 +361,17 @@ class FleetEvaluator:
                 z_stop=cfg.map_slice_stop,
                 threshold=cfg.obstacle_threshold, refresh=refresh)
 
+        cmajor = fleet.layout == "cmajor"
+
         @jax.jit
         def plan_group_refresh(grids, buffer, bins_x, bins_y, bins_z,
                                idx, agents, goals):
-            slabs = buffer.reshape(buffer.shape[0], B, V)[
-                :, idx].transpose(1, 0, 2)            # [G, F, V]
+            if cmajor:
+                slabs = buffer.reshape(buffer.shape[0], B, V)[
+                    :, idx].transpose(1, 0, 2)        # [G, F, V]
+            else:
+                slabs = buffer.reshape(B, V,
+                                       buffer.shape[-1])[idx]  # [G, V, F]
             return jax.vmap(
                 functools.partial(_one, refresh=True))(
                     grids, slabs, bins_x[idx], bins_y[idx],

@@ -30,7 +30,8 @@ import numpy as np
 
 from mass_tpu.config import CameraConfig, MapGeometry
 from mass_tpu.core import geometry as G
-from mass_tpu.core.voxelmap import VoxelMap, apply_onehot_group
+from mass_tpu.core.voxelmap import (VoxelMap, apply_onehot_group,
+                                    _resolved_layout)
 from mass_tpu.ops.scatter import corner_contributions
 
 
@@ -60,16 +61,20 @@ class FleetMaps:
 
         g = geometry
         self._episode_voxels = g.num_voxels
-        # the fleet buffer is a taller map: B*H rows of the same grid,
-        # so VoxelMap storage/kernel routing applies unchanged
+        # the slab layout follows the backend like single maps do:
+        # cmajor [F, B*V] on TPU (Pallas span kernels), vmajor
+        # [B*V, F] on host backends (sparse row updates) — either way
+        # the fleet buffer is just a taller map (B*H rows of the same
+        # grid), so VoxelMap storage/kernel routing applies unchanged
+        self.layout = _resolved_layout(g)
         self._fleet_geoms = {
             name: dataclasses.replace(
                 g, map_height=g.map_height * batch, feature_size=f,
-                layout="cmajor")
+                layout=self.layout)
             for name, f in feature_sizes.items()}
         self._episode_geoms = {
             name: dataclasses.replace(g, feature_size=f,
-                                      layout="cmajor")
+                                      layout=self.layout)
             for name, f in feature_sizes.items()}
         self.buffers = {
             name: VoxelMap.create(fg).data
@@ -159,13 +164,20 @@ class FleetMaps:
         g = self.base_geometry
         V = self._episode_voxels
 
+        cmajor = self.layout == "cmajor"
+
         @functools.partial(jax.jit, donate_argnums=0)
         def reset(buffers, bins_x, bins_y, bins_z, episode, origin):
             out = {}
             for name, buf in buffers.items():
-                zero = jnp.zeros((buf.shape[0], V), buf.dtype)
-                out[name] = jax.lax.dynamic_update_slice(
-                    buf, zero, (0, episode * V))
+                if cmajor:
+                    zero = jnp.zeros((buf.shape[0], V), buf.dtype)
+                    out[name] = jax.lax.dynamic_update_slice(
+                        buf, zero, (0, episode * V))
+                else:
+                    zero = jnp.zeros((V, buf.shape[1]), buf.dtype)
+                    out[name] = jax.lax.dynamic_update_slice(
+                        buf, zero, (episode * V, 0))
             bx = G.uniform_bins(origin[0], g.map_width,
                                 g.grid_resolution)
             by = G.uniform_bins(origin[1], g.map_height,
@@ -220,9 +232,13 @@ class FleetMaps:
         """One episode's map as a standard VoxelMap (planner/matcher
         input; a device-side slice)."""
         V = self._episode_voxels
-        data = jax.lax.dynamic_slice(
-            self.buffers[name], (0, episode * V),
-            (self.buffers[name].shape[0], V))
+        buf = self.buffers[name]
+        if self.layout == "cmajor":
+            data = jax.lax.dynamic_slice(
+                buf, (0, episode * V), (buf.shape[0], V))
+        else:
+            data = jax.lax.dynamic_slice(
+                buf, (episode * V, 0), (V, buf.shape[1]))
         return VoxelMap(data=data,
                         bins_x=self.bins_x[episode],
                         bins_y=self.bins_y[episode],

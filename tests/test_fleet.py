@@ -4,6 +4,7 @@ episode-parallel serving path, parallel/fleet.py)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from mass_tpu import taxonomy
 from mass_tpu.config import CameraConfig, MapGeometry
@@ -11,9 +12,9 @@ from mass_tpu.core.voxelmap import VoxelMap
 from mass_tpu.parallel.fleet import FleetMaps
 
 CAM = CameraConfig(height=12, width=12)
-# layout pinned: FleetMaps stores cmajor (parallel/fleet.py), and these
-# tests compare its buffers element-for-element against single maps —
-# which under "auto" would resolve to vmajor on the CPU test backend
+# layout pinned: these tests compare fleet buffers element-for-element
+# against single maps of the SAME layout ("auto" would resolve by
+# backend — the parametrized test below covers both layouts explicitly)
 GEO = MapGeometry(map_height=24, map_width=24, map_depth=8,
                   grid_resolution=0.25, layout="cmajor")
 B = 3
@@ -41,12 +42,19 @@ def _fleet():
     return fleet
 
 
-def test_fleet_matches_independent_maps():
-    fleet = _fleet()
+@pytest.mark.parametrize("layout", ["cmajor", "vmajor"])
+def test_fleet_matches_independent_maps(layout):
     import dataclasses
+    geo = dataclasses.replace(GEO, layout=layout)
+    fleet = FleetMaps(B, CAM, geo,
+                      {"semantic0": taxonomy.NUM_CLASSES,
+                       "occupancy": 1})
+    for e in range(B):
+        fleet.reset(e, (2.0, 2.0, 0.8))
+    assert fleet.layout == layout
     geos = {"semantic0": dataclasses.replace(
-                GEO, feature_size=taxonomy.NUM_CLASSES),
-            "occupancy": dataclasses.replace(GEO, feature_size=1)}
+                geo, feature_size=taxonomy.NUM_CLASSES),
+            "occupancy": dataclasses.replace(geo, feature_size=1)}
     singles = {n: [VoxelMap.create(g, (2.0, 2.0, 0.8))
                    for _ in range(B)] for n, g in geos.items()}
 
