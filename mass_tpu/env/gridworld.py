@@ -87,6 +87,34 @@ def _ray_aabb_planar(origin, dirs, lo, hi):
     return np.where(hit, np.maximum(tmin, 1e-6), np.inf)
 
 
+_NATIVE_RENDER = "unset"
+
+
+def _native_renderer():
+    """ctypes handle to the C++ render core (or None -> numpy path)."""
+    global _NATIVE_RENDER
+    if _NATIVE_RENDER == "unset":
+        import ctypes
+
+        from mass_tpu import native
+
+        lib = native.load("gridworld_render")
+        if lib is None:
+            _NATIVE_RENDER = None
+        else:
+            f64 = np.ctypeslib.ndpointer(np.float64, flags="C")
+            f32 = np.ctypeslib.ndpointer(np.float32, flags="C")
+            i32 = np.ctypeslib.ndpointer(np.int32, flags="C")
+            fn = lib.gridworld_render
+            fn.restype = None
+            fn.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                           ctypes.c_double, f64, ctypes.c_double,
+                           ctypes.c_double, ctypes.c_int32, f64, f64,
+                           i32, i32, f32, i32, i32]
+            _NATIVE_RENDER = fn
+    return _NATIVE_RENDER
+
+
 class GridWorld:
     """One room state (a set of object instances + geometry)."""
 
@@ -119,6 +147,26 @@ class GridWorld:
         ]
         return boxes
 
+    def _world_boxes(self):
+        """All render boxes (statics first, then objects — render
+        priority order under the strict '<' closest-hit rule) as world
+        frame (x, z_sim, y_up) arrays: lo [n,3], hi [n,3], class ids
+        [n], object indices [n] (-1 for statics)."""
+        los, his, cls, idx = [], [], [], []
+        for lo_sim, hi_sim in self.static_boxes():
+            los.append([lo_sim[0], lo_sim[2], lo_sim[1]])
+            his.append([hi_sim[0], hi_sim[2], hi_sim[1]])
+            cls.append(0)
+            idx.append(-1)
+        for k, obj in enumerate(self.objects):
+            lo_sim, hi_sim = obj.aabb
+            los.append([lo_sim[0], lo_sim[2], lo_sim[1]])
+            his.append([hi_sim[0], hi_sim[2], hi_sim[1]])
+            cls.append(obj.class_id)
+            idx.append(k)
+        return (np.asarray(los, np.float64), np.asarray(his, np.float64),
+                np.asarray(cls, np.int32), np.asarray(idx, np.int32))
+
     def render(self, camera: CameraConfig, pose: AgentPose,
                camera_height_m: float = 1.575,
                crouch_offset: float = 0.675):
@@ -126,59 +174,64 @@ class GridWorld:
 
         Returns (rgb [h, w, 3] in 0-1, depth [h, w, 1] planar meters,
         semantic [h, w, 1] int32 class ids).
+
+        The ray-vs-boxes core runs in the native C++ engine when
+        available (mass_tpu/native — the analogue of the reference's
+        native Unity renderer, SURVEY.md §2.2 L0) with this numpy
+        implementation as the always-correct fallback; parity between
+        the two is pinned by tests/test_native_render.py.
         """
         h, w = camera.height, camera.width
         f = camera.focal_length
-        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        rx = (xs - 0.5 * (w - 1)) / f
-        ry = -(ys - 0.5 * (h - 1)) / f
-        cam_dirs = np.stack([rx, ry, -np.ones_like(rx)],
-                            axis=-1).reshape(-1, 3)
-
         yaw = np.pi / 2 - np.radians(pose.rotation_degrees)
         elev = -np.radians(pose.horizon_degrees)
-
-        def sph(a, b):
-            return np.asarray([np.cos(a) * np.cos(b),
-                               np.sin(a) * np.cos(b), np.sin(b)])
-        eye = sph(yaw, elev)
-        up = sph(yaw, elev + np.pi / 2)
-        rot = np.stack([np.cross(eye, up), up, -eye], axis=-1)
-        world_dirs = cam_dirs @ rot.T  # in (x, z_sim, y_up) world frame
         # world frame here: (wx, wy, wz) = (sim x, sim z, sim y-up)
         cam_y = pose.y + (camera_height_m if pose.standing
                           else camera_height_m - crouch_offset)
         origin = np.asarray([pose.x, pose.z, cam_y])
+        box_lo, box_hi, box_cls, box_idx = self._world_boxes()
 
-        best_t = np.full(world_dirs.shape[0], np.inf)
-        best_cls = np.zeros(world_dirs.shape[0], np.int32)
-        best_obj = np.full(world_dirs.shape[0], -1, np.int32)
+        native = _native_renderer()
+        if native is not None:
+            depth = np.empty((h, w), np.float32)
+            best_cls = np.empty((h, w), np.int32)
+            best_obj = np.empty((h, w), np.int32)
+            native(h, w, float(f), origin, float(yaw), float(elev),
+                   len(box_cls), box_lo, box_hi, box_cls, box_idx,
+                   depth, best_cls, best_obj)
+            depth = depth.reshape(h, w, 1)
+            semantic = best_cls.reshape(h, w, 1)
+            best_obj = best_obj.reshape(-1)
+        else:
+            ys, xs = np.meshgrid(np.arange(h), np.arange(w),
+                                 indexing="ij")
+            rx = (xs - 0.5 * (w - 1)) / f
+            ry = -(ys - 0.5 * (h - 1)) / f
+            cam_dirs = np.stack([rx, ry, -np.ones_like(rx)],
+                                axis=-1).reshape(-1, 3)
 
-        def world_box(lo_sim, hi_sim):
-            # sim (x, y, z) -> world (x, z, y)
-            lo = np.asarray([lo_sim[0], lo_sim[2], lo_sim[1]])
-            hi = np.asarray([hi_sim[0], hi_sim[2], hi_sim[1]])
-            return lo, hi
+            def sph(a, b):
+                return np.asarray([np.cos(a) * np.cos(b),
+                                   np.sin(a) * np.cos(b), np.sin(b)])
+            eye = sph(yaw, elev)
+            up = sph(yaw, elev + np.pi / 2)
+            rot = np.stack([np.cross(eye, up), up, -eye], axis=-1)
+            world_dirs = cam_dirs @ rot.T   # (x, z_sim, y_up) frame
 
-        for lo_sim, hi_sim in self.static_boxes():
-            lo, hi = world_box(lo_sim, hi_sim)
-            t = _ray_aabb_planar(origin, world_dirs, lo, hi)
-            closer = t < best_t
-            best_t = np.where(closer, t, best_t)
-            best_cls = np.where(closer, 0, best_cls)
-            best_obj = np.where(closer, -1, best_obj)
+            best_t = np.full(world_dirs.shape[0], np.inf)
+            best_cls = np.zeros(world_dirs.shape[0], np.int32)
+            best_obj = np.full(world_dirs.shape[0], -1, np.int32)
+            for b in range(len(box_cls)):
+                t = _ray_aabb_planar(origin, world_dirs,
+                                     box_lo[b], box_hi[b])
+                closer = t < best_t
+                best_t = np.where(closer, t, best_t)
+                best_cls = np.where(closer, box_cls[b], best_cls)
+                best_obj = np.where(closer, box_idx[b], best_obj)
 
-        for k, obj in enumerate(self.objects):
-            lo, hi = world_box(*obj.aabb)
-            t = _ray_aabb_planar(origin, world_dirs, lo, hi)
-            closer = t < best_t
-            best_t = np.where(closer, t, best_t)
-            best_cls = np.where(closer, obj.class_id, best_cls)
-            best_obj = np.where(closer, k, best_obj)
-
-        depth = np.where(np.isfinite(best_t), best_t, 0.0)
-        depth = depth.reshape(h, w, 1).astype(np.float32)
-        semantic = best_cls.reshape(h, w, 1).astype(np.int32)
+            depth = np.where(np.isfinite(best_t), best_t, 0.0)
+            depth = depth.reshape(h, w, 1).astype(np.float32)
+            semantic = best_cls.reshape(h, w, 1).astype(np.int32)
         colors = taxonomy.class_colors_array()
         rgb = colors[semantic[..., 0]].astype(np.float32)
         # per-instance appearance: modulate the class color by the
