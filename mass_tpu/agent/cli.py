@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--semantic-search-unshuffle", action="store_true")
     p.add_argument("--use-feature-matching", action="store_true")
     p.add_argument("--record-found-objects", action="store_true")
+    p.add_argument("--snapshot-maps", action="store_true",
+                   help="dump end-of-episode voxel-map state per task "
+                        "(results/maps-{id}.npz) for debugging")
     p.add_argument("--one-phase", action="store_true",
                    help="single-task episodes with dual live/goal "
                         "observations (reference: "
@@ -173,6 +176,7 @@ def config_from_args(args) -> AgentConfig:
         semantic_search_unshuffle=args.semantic_search_unshuffle,
         use_feature_matching=args.use_feature_matching,
         record_found_objects=args.record_found_objects,
+        snapshot_maps=args.snapshot_maps,
         one_phase=args.one_phase,
         logdir=args.logdir, stage=args.stage,
         start_task=args.start_task, every_tasks=args.every_tasks,
@@ -320,10 +324,15 @@ def run_fleet(args, config, policy=None):
         evaluator = FleetEvaluator(
             config, samplers, seeds=[args.seed + s for s in batch],
             policy_params=policy)
-        for s, result in zip(batch, evaluator.run()):
+        for ei, (s, result) in enumerate(zip(batch, evaluator.run())):
             result["task_id"] = s
             if config.logdir:
                 M.write_task_metrics(config.logdir, s, result)
+                if config.snapshot_maps:
+                    M.write_map_snapshots(
+                        config.logdir, s,
+                        {n: evaluator.fleet.view(n, ei)
+                         for n in evaluator.fleet.buffers})
             all_results.append(result)
     return all_results
 

@@ -331,6 +331,8 @@ class RearrangementAgent:
                 M.write_found_objects(cfg.logdir, task_id, "unshuffle",
                                       unshuffle_track or [],
                                       object_positions)
+            if cfg.snapshot_maps:
+                M.write_map_snapshots(cfg.logdir, task_id, self.maps)
         return results
 
     def _run_task_one_phase(self, task_id: int) -> Dict:
@@ -410,6 +412,8 @@ class RearrangementAgent:
             if cfg.record_found_objects:
                 M.write_found_objects(cfg.logdir, task_id, "unshuffle",
                                       track or [], object_positions)
+            if cfg.snapshot_maps:
+                M.write_map_snapshots(cfg.logdir, task_id, self.maps)
         return results
 
     def run(self) -> List[Dict]:

@@ -52,6 +52,28 @@ def write_analytics(logdir: str, task_id: int,
     return path
 
 
+def write_map_snapshots(logdir: str, task_id: int, maps) -> str:
+    """End-of-episode voxel-map state for post-hoc debugging
+    (SURVEY.md §5.4 — the reference hints at the practice with a
+    commented-out np.save of its semantic maps, agent.py:417-418).
+
+    One compressed npz per task: each layer's logical ``[H, W, D, F]``
+    grid in float16 plus its axis bins (float32), so world coordinates
+    are recoverable offline.
+    """
+    arrays = {}
+    for name, layer in maps.items():
+        vm = getattr(layer, "voxel_map", layer)  # layer or bare VoxelMap
+        arrays[name] = np.asarray(vm.grid(), np.float16)
+        arrays[f"{name}_bins_x"] = np.asarray(vm.bins_x, np.float32)
+        arrays[f"{name}_bins_y"] = np.asarray(vm.bins_y, np.float32)
+        arrays[f"{name}_bins_z"] = np.asarray(vm.bins_z, np.float32)
+    path = os.path.join(logdir, "results", f"maps-{task_id}.npz")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **arrays)
+    return path
+
+
 def write_found_objects(logdir: str, task_id: int, phase: str,
                         agent_positions: Sequence[np.ndarray],
                         object_positions: np.ndarray) -> Optional[str]:

@@ -133,6 +133,10 @@ class AgentConfig:
     semantic_search_unshuffle: bool = False
     use_feature_matching: bool = False
     record_found_objects: bool = False
+    # dump end-of-episode voxel-map state per task for post-hoc
+    # debugging (SURVEY.md §5.4; the reference hints at the practice
+    # with a commented-out np.save of its maps, agent.py:417-418)
+    snapshot_maps: bool = False
     # one-phase rearrangement: no walkthrough task; each observation
     # carries the goal world's render from the same pose and both maps
     # build simultaneously (reference:

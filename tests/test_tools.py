@@ -245,3 +245,29 @@ def test_paired_compare(tmp_path):
     assert abs(out["mcnemar_p"] - 2 * 7 / 64) < 1e-9
     assert abs(out["mean_a"][0] - 6 / 8) < 1e-9
     assert abs(out["mean_b"][0] - 2 / 8) < 1e-9
+
+
+def test_map_snapshots(tmp_path):
+    """--snapshot-maps dumps recoverable voxel-map state
+    (SURVEY.md §5.4; the reference's commented-out np.save practice,
+    agent.py:417-418)."""
+    import numpy as np
+
+    from mass_tpu.agent import metrics as M
+    from mass_tpu.config import MapGeometry
+    from mass_tpu.core.voxelmap import VoxelMap
+
+    geo = MapGeometry(map_height=16, map_width=16, map_depth=4,
+                      grid_resolution=0.25, feature_size=8)
+    vm = VoxelMap.create(geo, (1.0, 1.0, 0.5))
+    grid = np.zeros((16, 16, 4, 8), np.float32)
+    grid[3, 5, 1, 2] = 0.75
+    vm = vm.with_grid(grid)
+
+    path = M.write_map_snapshots(str(tmp_path), 7, {"semantic0": vm})
+    with np.load(path) as z:
+        assert z["semantic0"].shape == (16, 16, 4, 8)
+        assert z["semantic0"].dtype == np.float16
+        np.testing.assert_allclose(z["semantic0"][3, 5, 1, 2], 0.75)
+        assert z["semantic0_bins_x"].shape == vm.bins_x.shape
+    assert path.endswith("maps-7.npz")
