@@ -77,3 +77,14 @@ def test_native_empty_room(monkeypatch):
     # lower half of the frame looks at floor/walls: must hit (the room
     # has no ceiling box, so upward rays may legitimately miss)
     assert (d_n[8:] > 0).all()
+
+
+def test_native_disabled_by_env(monkeypatch):
+    from mass_tpu import native
+    monkeypatch.setenv("MASS_TPU_NO_NATIVE", "1")
+    assert native.load("gridworld_render") is None
+
+
+def test_native_unknown_library_is_none():
+    from mass_tpu import native
+    assert native.load("no_such_component") is None
