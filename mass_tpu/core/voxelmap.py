@@ -43,7 +43,10 @@ def _padded_features(g: MapGeometry) -> int:
     return (g.feature_size + 7) // 8 * 8
 
 
-def _resolved_layout(g: MapGeometry) -> str:
+def resolved_layout(g: MapGeometry) -> str:
+    """Concrete storage layout for a geometry (``"auto"`` resolves by
+    feature size + backend; public — parallel/fleet.py routes slab
+    layouts through the same rule)."""
     layout = getattr(g, "layout", "auto")
     if layout == "auto":
         if g.feature_size % 128 == 0:
@@ -56,6 +59,9 @@ def _resolved_layout(g: MapGeometry) -> str:
         # production geometry — see docs/performance.md)
         return "cmajor" if jax.default_backend() == "tpu" else "vmajor"
     return layout
+
+
+_resolved_layout = resolved_layout    # internal alias (pre-public name)
 
 
 @dataclasses.dataclass(frozen=True)

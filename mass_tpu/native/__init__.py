@@ -28,6 +28,10 @@ _CACHE = {}
 def _build(name: str) -> Optional[str]:
     src = os.path.join(_DIR, f"{name}.cpp")
     lib = os.path.join(_DIR, f"_{name}.so")
+    if not os.path.exists(src):
+        # a stale .so without its source (e.g. after a refactor) must
+        # not be loaded — and must not crash the fallback contract
+        return None
     if (os.path.exists(lib)
             and os.path.getmtime(lib) >= os.path.getmtime(src)):
         return lib

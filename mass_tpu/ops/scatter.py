@@ -155,8 +155,10 @@ def apply_onehot_vmajor(data: jax.Array, ids: jax.Array,
     the per-voxel EMA multiplier, scatter-*set* them back (duplicate
     corner ids all compute the identical product of OLD row x multiplier,
     so the set is deterministic and needs no dedup/sort), then add the
-    per-record one-hot term with a flat scalar scatter.  Algebra is
-    exactly :func:`apply_onehot_cmajor` (reference semantics:
+    per-record one-hot term with a flat scalar scatter (or a 2-D
+    element scatter when ``V*F >= 2**31`` — flat int32 addresses would
+    overflow on very large host fleet slabs).  Algebra is exactly
+    :func:`apply_onehot_cmajor` (reference semantics:
     mass/utils/projection.py:335-351).
 
     Args:

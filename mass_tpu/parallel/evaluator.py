@@ -361,7 +361,7 @@ class FleetEvaluator:
                 z_stop=cfg.map_slice_stop,
                 threshold=cfg.obstacle_threshold, refresh=refresh)
 
-        cmajor = fleet.layout == "cmajor"
+        cmajor = fleet.layouts[nav_name] == "cmajor"
 
         @jax.jit
         def plan_group_refresh(grids, buffer, bins_x, bins_y, bins_z,

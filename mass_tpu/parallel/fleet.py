@@ -3,12 +3,15 @@ launch per step.
 
 The reference evaluates episodes one-per-GPU-process with zero sharing
 (reference: agent.py:795-800 --start-task/--every-tasks).  The TPU-
-native serving shape stores B episodes' channel-major maps as SLABS of
-a single ``[F, B*V]`` buffer: per-episode frames bin against their own
-episode's grid (origins differ), corner ids re-base by ``episode * V``,
-and the whole fleet's records feed the SAME sorted-span splat kernels
-that serve the single-episode hot path (ops/pallas_splat.py) — one
-sort + one launch per step for every episode and every same-grid map.
+native serving shape stores B episodes' maps as SLABS of a single
+buffer — ``[F, B*V]`` channel-major on TPU (Pallas span kernels),
+``[B*V, F]`` voxel-major on host backends (sparse row updates), the
+same backend rule as single maps (core.voxelmap.resolved_layout).
+Per-episode frames bin against their own episode's grid (origins
+differ), corner ids re-base by ``episode * V``, and the whole fleet's
+records feed the SAME splat kernels that serve the single-episode hot
+path (ops/pallas_splat.py) — one sort + one launch per step for every
+episode and every same-grid map.
 
 Discard ids re-base to the global discard slot ``B * V`` so an invalid
 pixel of episode e can never leak into episode e+1's first voxel.
@@ -31,18 +34,21 @@ import numpy as np
 from mass_tpu.config import CameraConfig, MapGeometry
 from mass_tpu.core import geometry as G
 from mass_tpu.core.voxelmap import (VoxelMap, apply_onehot_group,
-                                    _resolved_layout)
+                                    resolved_layout)
 from mass_tpu.ops.scatter import corner_contributions
 
 
 class FleetMaps:
     """B episodes x named one-hot maps (same camera + grid, shared
-    binning), each map family one ``[F_m, B*V]`` buffer.
+    binning), each map family one slab buffer (``[F_m, B*V]`` cmajor /
+    ``[B*V, F_m]`` vmajor, resolved per family by the backend rule —
+    see the module docstring).
 
     Args:
       batch: number of episodes B.
       camera: shared camera intrinsics.
-      geometry: per-episode map geometry (feature_size ignored).
+      geometry: per-episode map geometry (feature_size ignored — each
+        family's layout resolves from ITS channel count).
       feature_sizes: name -> channel count, e.g.
         ``{"semantic0": 54, "occupancy": 1}``.  Maps named
         ``occupancy*`` take implicit class 0 (no classes input needed).
@@ -61,20 +67,23 @@ class FleetMaps:
 
         g = geometry
         self._episode_voxels = g.num_voxels
-        # the slab layout follows the backend like single maps do:
-        # cmajor [F, B*V] on TPU (Pallas span kernels), vmajor
-        # [B*V, F] on host backends (sparse row updates) — either way
-        # the fleet buffer is just a taller map (B*H rows of the same
-        # grid), so VoxelMap storage/kernel routing applies unchanged
-        self.layout = _resolved_layout(g)
+        # each family's slab layout follows the backend like single
+        # maps do (resolved from the FAMILY's channel count, not the
+        # base geometry's ignored feature_size) — either way the fleet
+        # buffer is just a taller map (B*H rows of the same grid), so
+        # VoxelMap storage/kernel routing applies unchanged
+        self.layouts = {
+            name: resolved_layout(dataclasses.replace(
+                g, feature_size=f))
+            for name, f in feature_sizes.items()}
         self._fleet_geoms = {
             name: dataclasses.replace(
                 g, map_height=g.map_height * batch, feature_size=f,
-                layout=self.layout)
+                layout=self.layouts[name])
             for name, f in feature_sizes.items()}
         self._episode_geoms = {
             name: dataclasses.replace(g, feature_size=f,
-                                      layout=self.layout)
+                                      layout=self.layouts[name])
             for name, f in feature_sizes.items()}
         self.buffers = {
             name: VoxelMap.create(fg).data
@@ -164,13 +173,13 @@ class FleetMaps:
         g = self.base_geometry
         V = self._episode_voxels
 
-        cmajor = self.layout == "cmajor"
+        layouts = dict(self.layouts)
 
         @functools.partial(jax.jit, donate_argnums=0)
         def reset(buffers, bins_x, bins_y, bins_z, episode, origin):
             out = {}
             for name, buf in buffers.items():
-                if cmajor:
+                if layouts[name] == "cmajor":
                     zero = jnp.zeros((buf.shape[0], V), buf.dtype)
                     out[name] = jax.lax.dynamic_update_slice(
                         buf, zero, (0, episode * V))
@@ -233,7 +242,7 @@ class FleetMaps:
         input; a device-side slice)."""
         V = self._episode_voxels
         buf = self.buffers[name]
-        if self.layout == "cmajor":
+        if self.layouts[name] == "cmajor":
             data = jax.lax.dynamic_slice(
                 buf, (0, episode * V), (buf.shape[0], V))
         else:

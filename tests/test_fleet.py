@@ -51,7 +51,7 @@ def test_fleet_matches_independent_maps(layout):
                        "occupancy": 1})
     for e in range(B):
         fleet.reset(e, (2.0, 2.0, 0.8))
-    assert fleet.layout == layout
+    assert set(fleet.layouts.values()) == {layout}
     geos = {"semantic0": dataclasses.replace(
                 geo, feature_size=taxonomy.NUM_CLASSES),
             "occupancy": dataclasses.replace(geo, feature_size=1)}

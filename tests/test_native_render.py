@@ -88,3 +88,13 @@ def test_native_disabled_by_env(monkeypatch):
 def test_native_unknown_library_is_none():
     from mass_tpu import native
     assert native.load("no_such_component") is None
+
+
+def test_native_stale_so_without_source(tmp_path, monkeypatch):
+    """A leftover .so whose .cpp source vanished must fall back to
+    None, not crash (the fallback contract of native.load)."""
+    from mass_tpu import native
+    (tmp_path / "_ghost.so").write_bytes(b"not a real library")
+    monkeypatch.setattr(native, "_DIR", str(tmp_path))
+    monkeypatch.setattr(native, "_CACHE", {})
+    assert native.load("ghost") is None
