@@ -297,15 +297,15 @@ def run_fleet(args, config, policy=None):
     ``--fleet-size`` episodes share one device dispatch per stage."""
     assert args.backend == "gridworld", \
         "fleet evaluation drives the gridworld backend"
-    assert args.ground_truth_segmentation or args.detector_checkpoint \
-        is None, "fleet mode uses GT segmentation"
-    if not args.ground_truth_segmentation:
-        raise SystemExit("--fleet-size needs "
-                         "--ground-truth-segmentation (learned "
-                         "sensors use the sequential driver)")
     from mass_tpu.agent import metrics as M
     from mass_tpu.env.rearrange import GridWorldTaskSampler
     from mass_tpu.parallel.evaluator import FleetEvaluator
+
+    # learned segmentation in fleet mode runs as ONE batched device
+    # dispatch per tick inside the evaluator (the samplers stay GT;
+    # the evaluator swaps `semantic` exactly like
+    # SegmentationTaskWrapper does sequentially)
+    sensor = load_segmentation_sensor(args)
 
     seeds = [args.start_task + k * args.every_tasks
              for k in range(args.total_tasks)]
@@ -323,7 +323,7 @@ def run_fleet(args, config, policy=None):
             for s in batch]
         evaluator = FleetEvaluator(
             config, samplers, seeds=[args.seed + s for s in batch],
-            policy_params=policy)
+            policy_params=policy, sensor=sensor)
         for ei, (s, result) in enumerate(zip(batch, evaluator.run())):
             result["task_id"] = s
             if config.logdir:

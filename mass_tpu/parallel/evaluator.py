@@ -297,14 +297,25 @@ class FleetEvaluator:
         episode's walkthrough then unshuffle task).
       seeds: per-episode rng seeds (pose noise + goal sampling streams;
         match these to reproduce sequential runs episode-for-episode).
+      sensor: optional learned segmentation sensor (e.g.
+        perception.segmentation.DetectorSegmentation).  The fleet
+        replaces each live episode's GT ``semantic`` with the sensor
+        output exactly like SegmentationTaskWrapper does sequentially —
+        but runs the whole fleet's inference as ONE batched device
+        dispatch per tick (perception.segmentation.make_batched_sensor).
     """
 
     def __init__(self, config: AgentConfig, samplers: List,
                  seeds: Optional[List[int]] = None,
-                 policy_params=None):
+                 policy_params=None, sensor=None):
         assert not config.use_feature_matching, \
             "feature matching uses the sequential driver"
         self.config = config
+        self._batched_sensor = None
+        if sensor is not None:
+            from mass_tpu.perception.segmentation import \
+                make_batched_sensor
+            self._batched_sensor = make_batched_sensor(sensor)
         B = len(samplers)
         families = {"semantic0": taxonomy.NUM_CLASSES,
                     "semantic1": taxonomy.NUM_CLASSES}
@@ -461,9 +472,28 @@ class FleetEvaluator:
                            for name in self.fleet.names}
         obs: Dict[int, Dict] = {}
         for ep in live:
-            o = ep.task.get_observations()
+            o = dict(ep.task.get_observations())
             ep.controller.process_observations(o, update_map=None)
             obs[ep.index] = o
+
+        if self._batched_sensor is not None:
+            # learned segmentation for the WHOLE fleet in one device
+            # dispatch (the sequential driver's SegmentationTaskWrapper
+            # swap, batched); frames of finished episodes ride as zeros
+            # so the compiled shape is constant
+            rgb = np.zeros((B, cam.height, cam.width, 3), np.float32)
+            for ep in live:
+                rgb[ep.index] = np.asarray(obs[ep.index]["rgb"],
+                                           np.float32)
+            sem_batch = self._batched_sensor(rgb)
+            for ep in live:
+                o = obs[ep.index]
+                if "semantic" in o:
+                    o["gt_semantic"] = o["semantic"]
+                o["semantic"] = sem_batch[ep.index]
+
+        for ep in live:
+            o = obs[ep.index]
             positions[ep.index] = o["position"]
             yaws[ep.index] = o["yaw"]
             elevations[ep.index] = o["elevation"]

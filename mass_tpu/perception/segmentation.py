@@ -107,6 +107,37 @@ class DetectorSegmentation:
             det, self.detection_threshold))
 
 
+def make_batched_sensor(sensor):
+    """Lift a per-frame segmentation sensor to a frame batch
+    (``[B, h, w, 3]`` rgb -> ``[B, h, w, 1]`` int32 classes).
+
+    For :class:`DetectorSegmentation` the whole batch runs as ONE
+    jitted vmapped forward — the fleet evaluator's dispatch-bound
+    serving shape (B episodes' detector inference per tick collapses
+    to a single device launch).  Any other sensor falls back to a
+    per-frame loop with identical semantics.
+    """
+    if isinstance(sensor, DetectorSegmentation):
+        model = sensor.model
+        threshold = sensor.detection_threshold
+
+        @jax.jit
+        def forward(rgb_batch):
+            return jax.vmap(lambda rgb: detections_to_semantic(
+                model(rgb), threshold))(rgb_batch)
+
+        def batched(rgb_batch) -> np.ndarray:
+            return np.asarray(forward(jnp.asarray(rgb_batch)))
+
+        return batched
+
+    def looped(rgb_batch) -> np.ndarray:
+        return np.stack([np.asarray(sensor({"rgb": rgb}))
+                         for rgb in np.asarray(rgb_batch)])
+
+    return looped
+
+
 class SegmentationTaskWrapper:
     """Task decorator replacing GT ``semantic`` with a learned sensor.
 

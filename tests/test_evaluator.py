@@ -201,3 +201,83 @@ def test_fleet_one_phase_matches_sequential_agent(tmp_path):
     # the one-phase fleet actually fixes objects on these seeds
     assert np.mean([r["unshuffle/prop_fixed"]
                     for r in fleet_results]) > 0
+
+
+def _stub_detector():
+    """Deterministic shape-static SegmentationModel stand-in: 6
+    horizontal-band 'instances' gated by frame brightness."""
+    import jax.numpy as jnp
+    from mass_tpu.perception.segmentation import Detections
+
+    def model(rgb):
+        h = rgb.shape[0]
+        bands = jnp.arange(h)[:, None] * 6 // h          # [h, 1]
+        lit = rgb.mean(-1) > 0.05                        # [h, w]
+        masks = jnp.stack([(bands == k) & lit for k in range(6)])
+        return Detections(masks.astype(jnp.float32),
+                          jnp.arange(1, 7, dtype=jnp.int32),
+                          jnp.full((6,), 1.0, jnp.float32))
+
+    return model
+
+
+def test_batched_sensor_matches_per_frame():
+    """make_batched_sensor == the per-frame sensor, for both the
+    one-dispatch detector fast path and the generic loop fallback."""
+    from mass_tpu.perception.segmentation import (
+        DetectorSegmentation, make_batched_sensor)
+
+    rng = np.random.RandomState(0)
+    frames = rng.uniform(0, 1, (3, 24, 24, 3)).astype(np.float32)
+
+    sensor = DetectorSegmentation(_stub_detector(), 0.5)
+    per_frame = np.stack([sensor({"rgb": f}) for f in frames])
+    batched = make_batched_sensor(sensor)(frames)
+    np.testing.assert_array_equal(batched, per_frame)
+    assert batched.dtype == per_frame.dtype
+
+    def generic(observation):                 # non-Detector sensor
+        return (np.asarray(observation["rgb"]).sum(-1, keepdims=True)
+                > 1.5).astype(np.int32)
+
+    looped = make_batched_sensor(generic)(frames)
+    np.testing.assert_array_equal(
+        looped, np.stack([generic({"rgb": f}) for f in frames]))
+
+
+@pytest.mark.slow
+def test_fleet_learned_segmentation_matches_sequential_agent(tmp_path):
+    """A learned detector in fleet mode (ONE batched forward per tick,
+    evaluator `sensor=`) must reproduce the sequential driver's
+    SegmentationTaskWrapper episodes on matched seeds."""
+    import dataclasses
+    from mass_tpu.perception.segmentation import (
+        DetectorSegmentation, SegmentationSampler)
+
+    cfg = dataclasses.replace(_config(tmp_path),
+                              exploration_budget_one=1,
+                              exploration_budget_two=1,
+                              ground_truth_segmentation=False)
+    sensor = DetectorSegmentation(_stub_detector(), 0.5)
+
+    fleet = FleetEvaluator(cfg, [_sampler(s) for s in SEEDS],
+                           seeds=[100 + s for s in SEEDS],
+                           sensor=sensor)
+    fleet_results = fleet.run()
+
+    from mass_tpu.agent.loop import RearrangementAgent
+    seq_results = []
+    for s in SEEDS:
+        agent = RearrangementAgent(
+            cfg, SegmentationSampler(_sampler(s), sensor),
+            rng=np.random.RandomState(100 + s))
+        seq_results.append(agent.run_task(0))
+
+    keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
+            "unshuffle/success", "unshuffle/num_fixed",
+            "unshuffle/num_newly_misplaced")
+    for got, want, s in zip(fleet_results, seq_results, SEEDS):
+        for k in keys:
+            assert got[k] == want[k], (s, k, got[k], want[k])
+        assert got["unshuffle/objects_moved"] == \
+            want["unshuffle/objects_moved"], s
