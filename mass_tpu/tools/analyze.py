@@ -41,6 +41,35 @@ def load_results(logdir: str) -> List[Dict]:
     return out
 
 
+def timing_table(logdirs: List[str]) -> Dict[str, Dict[str, Dict]]:
+    """Aggregate the per-task ``timing`` blocks (utils/profiling
+    StageTimer, written into every results JSON — SURVEY.md §5.1) into
+    per-stage totals: call-weighted mean ms, total seconds, calls.
+    """
+    out: Dict[str, Dict[str, Dict]] = {}
+    for logdir in logdirs:
+        stages: Dict[str, Dict] = {}
+        tasks = 0
+        for rec in load_results(logdir):
+            timing = rec.get("timing")
+            if not timing:
+                continue
+            tasks += 1
+            for stage, row in timing.items():
+                agg = stages.setdefault(
+                    stage, {"total_s": 0.0, "count": 0})
+                agg["total_s"] += row.get("total_s", 0.0)
+                agg["count"] += row.get("count", 0)
+        for agg in stages.values():
+            agg["mean_ms"] = (1e3 * agg["total_s"] / agg["count"]
+                              if agg["count"] else 0.0)
+            agg["s_per_task"] = (agg["total_s"] / tasks if tasks
+                                 else 0.0)
+        stages["_tasks"] = tasks
+        out[os.path.basename(os.path.normpath(logdir))] = stages
+    return out
+
+
 def paired_compare(dir_a: str, dir_b: str,
                    metric: str = "unshuffle/prop_fixed_strict") -> Dict:
     """Matched-seed comparison of two arms: pooled means ± CI over the
@@ -401,7 +430,8 @@ def main(argv=None):
     p = argparse.ArgumentParser("result analysis")
     p.add_argument("command", choices=["metrics", "ablation", "pr",
                                        "found", "failures",
-                                       "analytics", "compare"])
+                                       "analytics", "compare",
+                                       "timing"])
     p.add_argument("logdirs", nargs="+")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--radius", type=float, default=1.0)
@@ -466,6 +496,16 @@ def main(argv=None):
         print(table if table is not None else "no analytics CSVs found")
         if args.out and table is not None:
             _plot_analytics(args.logdirs, args.out, bins=args.bins)
+    elif args.command == "timing":
+        for name, stages in timing_table(args.logdirs).items():
+            tasks = stages.pop("_tasks")
+            print(f"{name}  (n={tasks} tasks with timing)")
+            order = sorted(stages, key=lambda s: -stages[s]["total_s"])
+            for stage in order:
+                a = stages[stage]
+                print(f"  {stage:16s} {a['mean_ms']:9.2f} ms/call"
+                      f"  x{a['count']:>7d}"
+                      f"  {a['s_per_task']:8.2f} s/task")
     elif args.command == "compare":
         if len(args.logdirs) != 2:
             raise SystemExit("compare takes exactly two logdirs")

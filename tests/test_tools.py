@@ -271,3 +271,26 @@ def test_map_snapshots(tmp_path):
         np.testing.assert_allclose(z["semantic0"][3, 5, 1, 2], 0.75)
         assert z["semantic0_bins_x"].shape == vm.bins_x.shape
     assert path.endswith("maps-7.npz")
+
+
+def test_timing_aggregation(tmp_path):
+    """`analyze timing` pools the per-task StageTimer blocks."""
+    import json
+
+    from mass_tpu.tools import analyze
+
+    rdir = tmp_path / "results"
+    rdir.mkdir()
+    for tid, ms in ((0, 2.0), (1, 4.0)):
+        (rdir / f"{tid}.json").write_text(json.dumps({
+            "unshuffle/prop_fixed_strict": 1.0,
+            "timing": {"mapping": {"total_s": ms / 1e3 * 10,
+                                   "count": 10,
+                                   "mean_ms": ms}}}))
+    table = analyze.timing_table([str(tmp_path)])
+    stages = table[tmp_path.name]
+    assert stages["_tasks"] == 2
+    assert stages["mapping"]["count"] == 20
+    np.testing.assert_allclose(stages["mapping"]["mean_ms"], 3.0)
+    np.testing.assert_allclose(stages["mapping"]["s_per_task"], 0.03)
+    analyze.main(["timing", str(tmp_path)])   # smoke the CLI printer
