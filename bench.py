@@ -28,6 +28,10 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "128"))
 # dominates, see docs/performance.md)
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "6"))
+# splat-kernel MXU precision: "default" (hardware-native bf16-input
+# matmuls, the production default) or "highest" (strict-parity f32,
+# ~1.65x slower on chip) — docs/performance.md "MXU precision on chip"
+PRECISION = os.environ.get("BENCH_PRECISION", "default")
 
 
 def measure_tpu():
@@ -39,7 +43,7 @@ def measure_tpu():
 
     cam = CameraConfig(height=CAMERA, width=CAMERA)
     geo = MapGeometry(map_height=MAP_H, map_width=MAP_W, map_depth=MAP_D,
-                      feature_size=NUM_CLASSES)
+                      feature_size=NUM_CLASSES, precision=PRECISION)
     rays = G.camera_rays(cam.height, cam.width,
                         cam.focal_length, cam.focal_length)
 

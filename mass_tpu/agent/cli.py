@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map-slice-stop", type=int, default=48)
     p.add_argument("--vertical-fov", type=float, default=90.0)
     p.add_argument("--camera-size", type=int, default=224)
+    p.add_argument("--map-precision", type=str, default="default",
+                   choices=["default", "highest"],
+                   help="splat-kernel MXU precision: 'default' = "
+                        "hardware-native bf16-input matmuls (~6.6e-3 "
+                        "max-rel map movement on chip, ~1.65x faster); "
+                        "'highest' = strict f32 reference parity")
 
     p.add_argument("--obstacle-threshold", type=float, default=0.0)
     p.add_argument("--obstacle-padding", type=int, default=1)
@@ -151,6 +157,7 @@ def config_from_args(args) -> AgentConfig:
                             vertical_fov_degrees=args.vertical_fov),
         map_height=args.map_height, map_width=args.map_width,
         map_depth=args.map_depth, grid_resolution=args.grid_resolution,
+        map_precision=args.map_precision,
         nav=NavConfig(step_size=args.step_size,
                       obstacle_padding=args.obstacle_padding,
                       obstacle_threshold=args.obstacle_threshold,

@@ -62,6 +62,13 @@ class MapGeometry:
     # dims (zero lane padding, scalar scatters) and voxel-major [V, F]
     # for lane-aligned dense-feature maps; see core/voxelmap.py
     layout: str = "auto"
+    # splat-kernel MXU precision: "default" = the hardware-native
+    # lowering (single-pass bf16 matmul inputs, f32 accumulation —
+    # measured ~6.6e-3 max-rel map movement vs the f32 scatter on v5e,
+    # ~200 fps); "highest" = true multi-pass f32 (3.1e-7 max-rel, the
+    # strict 1e-3 reference-parity mode, ~121 fps).  See
+    # docs/performance.md "MXU precision on chip".
+    precision: str = "default"
 
     @property
     def num_voxels(self) -> int:
@@ -119,6 +126,10 @@ class AgentConfig:
     map_width: int = 384
     map_depth: int = 96
     grid_resolution: float = 0.05
+    # splat-kernel MXU precision for every map the agent builds
+    # ("default" = hardware-native bf16-input matmuls, "highest" =
+    # strict-parity f32; MapGeometry.precision has the measured story)
+    map_precision: str = "default"
     nav: NavConfig = NavConfig()
     match: MatchConfig = MatchConfig()
 
@@ -160,7 +171,8 @@ class AgentConfig:
         return MapGeometry(
             map_height=self.map_height, map_width=self.map_width,
             map_depth=self.map_depth, feature_size=feature_size,
-            grid_resolution=self.grid_resolution)
+            grid_resolution=self.grid_resolution,
+            precision=self.map_precision)
 
     @property
     def navigation_map_name(self) -> str:

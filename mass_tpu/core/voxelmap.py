@@ -191,7 +191,8 @@ class VoxelMap:
         if use_kernel:
             data = PS.splat_onehot_cmajor(
                 self.data, ids, weights, classes.reshape(-1),
-                g.interpolation_weight, interpret=not on_tpu)
+                g.interpolation_weight, interpret=not on_tpu,
+                precision=g.precision)
         else:
             data = S.apply_onehot_cmajor(
                 self.data, ids, weights, classes.reshape(-1),
@@ -253,7 +254,8 @@ class VoxelMap:
             data = PS.splat_onehot_frames_cmajor(
                 self.data, ids, weights,
                 classes.reshape(classes.shape[0], -1),
-                g.interpolation_weight, interpret=not on_tpu)
+                g.interpolation_weight, interpret=not on_tpu,
+                precision=g.precision)
             return dataclasses.replace(self, data=data)
 
         apply_fn = (S.apply_onehot_vmajor if self.layout == "vmajor"
@@ -511,7 +513,8 @@ def apply_onehot_group(vms, ids, weights, classes_list,
             tuple(vm.data for vm in vms), ids, weights,
             tuple(classes_list),
             tuple(vm.geometry.interpolation_weight for vm in vms),
-            interpret=not on_tpu)
+            interpret=not on_tpu,
+            precision=vms[0].geometry.precision)
         return [dataclasses.replace(vm, data=d)
                 for vm, d in zip(vms, datas)]
     return [vm.apply_onehot(ids, weights, cls, use_kernel)

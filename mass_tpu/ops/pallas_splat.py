@@ -47,6 +47,21 @@ CHUNK = 1024
 SUB = 256
 
 
+def _dot_precision(precision: str):
+    """Map the kernels' ``precision`` knob to a lax dot precision.
+
+    "default" lets Mosaic pick: MEASURED on v5e, that is single-pass
+    bf16 matmul inputs with f32 accumulation — numerically identical to
+    an explicit bf16 input cast (max rel delta 0.0 on chip) and ~6.6e-3
+    max-rel from the XLA f32 scatter path.  "highest" forces the true
+    multi-pass f32 matmul for reference-budget (1e-3) parity at ~3x the
+    MAC bill (docs/performance.md "MXU precision on chip")."""
+    if precision == "highest":
+        return jax.lax.Precision.HIGHEST
+    assert precision == "default", precision
+    return None
+
+
 def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
             ids_ref, w_ref, cls_ref,                 # records in HBM
             map_hbm_in, map_hbm_out,                 # [F, V] in HBM
@@ -54,7 +69,7 @@ def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
             span_buf,                                # [F, SPAN] VMEM
             sems, span_sem,                          # DMA semaphores
             *, num_features: int, interpolation_weight: float,
-            fast_bf16: bool = False):
+            fast_bf16: bool = False, precision: str = "default"):
     """Grid step = one voxel-id span.  Untouched spans are skipped
     entirely (the map output aliases the input, so skipped spans keep
     their contents with zero HBM traffic).
@@ -85,14 +100,15 @@ def _kernel(starts_ref,  # [n_spans + 1] scalar prefetch
             starts_ref, ids_ref, w_ref, cls_ref, map_hbm_out, rec_ids,
             rec_w, rec_cls, span_buf, sems, span_sem, i, start, end,
             count, aligned, base, load, num_features,
-            interpolation_weight, fast_bf16)
+            interpolation_weight, fast_bf16, precision)
 
 
 def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
                           map_hbm_out, rec_ids, rec_w, rec_cls,
                           span_buf, sems, span_sem, i, start, end,
                           count, aligned, base, load, num_features,
-                          interpolation_weight, fast_bf16=False):
+                          interpolation_weight, fast_bf16=False,
+                          precision="default"):
     n_chunks = jnp.where(count > 0,
                          (end - aligned + CHUNK - 1) // CHUNK, 0)
     stride = num_features + 2
@@ -177,14 +193,17 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
                         f_iota == (row0 + num_features + 1)[:, None],
                         w2[:, None], baug)
                     if fast_bf16:
-                        # opt-in: bf16 matmul inputs, f32 accumulation
-                        # (~2e-3 relative map movement; the MXU runs
-                        # bf16 several times faster than f32)
+                        # explicit bf16 matmul inputs — measured
+                        # IDENTICAL to "default" precision on chip
+                        # (Mosaic already truncates f32 dot inputs to
+                        # single-pass bf16); kept for interpret-mode
+                        # emulation of on-chip numerics
                         baug = baug.astype(jnp.bfloat16)
                         onehot = onehot.astype(jnp.bfloat16)
                     acc[:] += jax.lax.dot_general(
                         baug, onehot, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_dot_precision(precision))
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -223,7 +242,8 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
                    sems, span_sem,
                    *, num_frames: int, num_features: int,
                    row_stride: int, starts_stride: int,
-                   interpolation_weight: float):
+                   interpolation_weight: float,
+                   precision: str = "default"):
     """Grid step = one voxel-id span, processed for a SEQUENCE of
     frames: the span streams through VMEM once while every frame's EMA
     blend applies in order (the kernel is span-DMA-bound, so amortizing
@@ -341,7 +361,8 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
                                 acc[:] += jax.lax.dot_general(
                                     baug, onehot,
                                     (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=_dot_precision(precision))
                         return 0
 
                     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -374,11 +395,12 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
 
 
 @functools.partial(jax.jit, static_argnums=(4,),
-                   static_argnames=("interpret",))
+                   static_argnames=("interpret", "precision"))
 def splat_onehot_frames_cmajor(data: jax.Array, ids: jax.Array,
                                weights: jax.Array, classes: jax.Array,
                                interpolation_weight: float = 0.5,
-                               interpret: bool = False) -> jax.Array:
+                               interpret: bool = False,
+                               precision: str = "default") -> jax.Array:
     """Sequentially splat T frames of one-hot contributions in ONE
     kernel launch.
 
@@ -447,7 +469,8 @@ def splat_onehot_frames_cmajor(data: jax.Array, ids: jax.Array,
                           num_features=num_features,
                           row_stride=row_stride,
                           starts_stride=starts_stride,
-                          interpolation_weight=interpolation_weight),
+                          interpolation_weight=interpolation_weight,
+                          precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
         input_output_aliases={4: 0},
@@ -458,7 +481,8 @@ def splat_onehot_frames_cmajor(data: jax.Array, ids: jax.Array,
 
 def _multi_kernel(starts_ref,                        # scalar prefetch
                   ids_ref, w_ref, cls_ref, *refs,
-                  blocks: tuple, interpolation_weights: tuple):
+                  blocks: tuple, interpolation_weights: tuple,
+                  precision: str = "default"):
     """Multi-map grid step: one span of voxel ids across ALL maps.
 
     ``cls_ref`` carries every map's class id packed 8 bits apiece; the
@@ -565,7 +589,8 @@ def _multi_kernel(starts_ref,                        # scalar prefetch
                             off += fm
                         acc[:] += jax.lax.dot_general(
                             baug, onehot, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_precision(precision))
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -596,11 +621,12 @@ def _multi_kernel(starts_ref,                        # scalar prefetch
 
 
 @functools.partial(jax.jit, static_argnums=(4,),
-                   static_argnames=("interpret",))
+                   static_argnames=("interpret", "precision"))
 def splat_onehot_multi_cmajor(datas, ids: jax.Array,
                               weights: jax.Array, classes,
                               interpolation_weights,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              precision: str = "default"):
     """One-hot trilinear splat into SEVERAL channel-major ``[F_m, V]``
     maps in one kernel launch.
 
@@ -667,7 +693,8 @@ def splat_onehot_multi_cmajor(datas, ids: jax.Array,
     return pl.pallas_call(
         functools.partial(
             _multi_kernel, blocks=blocks,
-            interpolation_weights=tuple(interpolation_weights)),
+            interpolation_weights=tuple(interpolation_weights),
+            precision=precision),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(d.shape, d.dtype)
                    for d in datas],
@@ -678,20 +705,25 @@ def splat_onehot_multi_cmajor(datas, ids: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnums=(4,),
-                   static_argnames=("interpret", "fast_bf16"))
+                   static_argnames=("interpret", "fast_bf16",
+                                    "precision"))
 def splat_onehot_cmajor(data: jax.Array, ids: jax.Array,
                         weights: jax.Array, classes: jax.Array,
                         interpolation_weight: float = 0.5,
                         interpret: bool = False,
-                        fast_bf16: bool = False) -> jax.Array:
+                        fast_bf16: bool = False,
+                        precision: str = "default") -> jax.Array:
     """One-hot trilinear splat into a channel-major ``[F, V]`` map.
 
     Same semantics as ops.scatter.apply_onehot_cmajor; the map's V must
     be a multiple of SPAN (MapGeometry default sizes are).
 
-    ``fast_bf16`` opts INTO bf16 matmul inputs with f32 accumulation:
-    per-update map movement vs the f32 path is ~1e-3-2e-3 relative
-    (outside the default reference-parity budget — hence opt-in).
+    ``precision``: "default" = Mosaic's native lowering (single-pass
+    bf16 matmul inputs, f32 accumulation — measured ~6.6e-3 max-rel
+    map movement vs the XLA f32 scatter on chip); "highest" = true
+    multi-pass f32 for reference-budget (1e-3) parity.  ``fast_bf16``
+    casts inputs to bf16 explicitly — on-chip identical to "default"
+    (kept to emulate on-chip numerics under interpret=True).
     """
     num_features, num_voxels = data.shape
     assert num_voxels % SPAN == 0, (
@@ -732,7 +764,7 @@ def splat_onehot_cmajor(data: jax.Array, ids: jax.Array,
     return pl.pallas_call(
         functools.partial(_kernel, num_features=num_features,
                           interpolation_weight=interpolation_weight,
-                          fast_bf16=fast_bf16),
+                          fast_bf16=fast_bf16, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
         input_output_aliases={4: 0},  # map input (after prefetch) -> out

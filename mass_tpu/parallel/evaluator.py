@@ -554,7 +554,8 @@ def _geometry_of(config: AgentConfig):
     return MapGeometry(map_height=config.map_height,
                        map_width=config.map_width,
                        map_depth=config.map_depth,
-                       grid_resolution=config.grid_resolution)
+                       grid_resolution=config.grid_resolution,
+                       precision=config.map_precision)
 
 
 def _wants_refresh(ep: _Episode, nav_cfg) -> bool:

@@ -212,6 +212,47 @@ def test_fast_bf16_mode_close_but_not_exact():
     assert d.max() / scale < 2e-2, d.max() / scale
 
 
+def test_precision_highest_matches_xla_path():
+    """precision="highest" must produce the exact-parity result (in
+    interpret mode both precisions are host f32; this pins the arg
+    plumbing through all three wrappers — the on-chip numbers live in
+    docs/performance.md "MXU precision on chip")."""
+    rng = np.random.RandomState(7)
+    vm = VoxelMap.create(GEO, (0.0, 0.0, 0.0))
+    data = jnp.asarray(rng.rand(GEO.feature_size,
+                                GEO.num_voxels).astype(np.float32))
+    classes = jnp.asarray(rng.randint(
+        0, GEO.feature_size, (CAM["h"] * CAM["w"],)).astype(np.int32))
+    ids, w = _random_points(rng, vm)
+    ref = apply_onehot_cmajor(data, ids, w, classes, 0.5)
+
+    out = PS.splat_onehot_cmajor(data, ids, w, classes, 0.5,
+                                 interpret=True, precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+    frames = PS.splat_onehot_frames_cmajor(
+        data, ids[None], w[None], classes[None], 0.5,
+        interpret=True, precision="highest")
+    np.testing.assert_allclose(np.asarray(frames), np.asarray(ref),
+                               atol=1e-5)
+    multi = PS.splat_onehot_multi_cmajor(
+        (data,), ids, w, (classes,), (0.5,),
+        interpret=True, precision="highest")
+    np.testing.assert_allclose(np.asarray(multi[0]), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_precision_threads_from_agent_config():
+    """AgentConfig.map_precision reaches the kernels via MapGeometry
+    (the CLI exposes it as --map-precision)."""
+    from mass_tpu.config import AgentConfig
+    cfg = AgentConfig(map_precision="highest")
+    assert cfg.geometry(54).precision == "highest"
+    assert AgentConfig().geometry(54).precision == "default"
+    assert PS._dot_precision("highest") is not None
+    assert PS._dot_precision("default") is None
+
+
 def test_kernel_occupancy_single_channel():
     geo = dataclasses.replace(GEO, feature_size=1)
     rng = np.random.RandomState(2)
