@@ -359,8 +359,14 @@ class NavigationController:
                 (int(cell[1]) - off_y) % s == 0 and \
                 0 <= i < ny and 0 <= j < nx and alive[i, j]
             if on_node:
-                self.nav_grid = self.nav_grid._replace(
-                    alive=self.nav_grid.alive.at[i, j].set(False))
+                # leaf may be numpy (fleet batched-plan readback keeps
+                # grids host-side) or jnp (sequential path) — mutate a
+                # host copy and preserve the incoming leaf type
+                buf = np.array(alive)
+                buf[i, j] = False
+                new = (buf if isinstance(self.nav_grid.alive, np.ndarray)
+                       else jnp.asarray(buf))
+                self.nav_grid = self.nav_grid._replace(alive=new)
                 return
             idx += 1
 

@@ -46,6 +46,7 @@ from mass_tpu.match.differences import predict_scene_differences
 from mass_tpu.nav import grid as NG
 from mass_tpu.nav.controller import NavigationController
 from mass_tpu.parallel.fleet import FleetMaps
+from mass_tpu.utils.profiling import StageTimer
 
 
 class _FleetLayerView:
@@ -83,11 +84,12 @@ WALK, UNSHUFFLE, REARRANGE, DONE = range(4)
 class _Episode:
     def __init__(self, index: int, sampler, config: AgentConfig,
                  fleet: FleetMaps, rng: np.random.RandomState,
-                 policy=None):
+                 policy=None, timer: Optional[StageTimer] = None):
         self.index = index
         self.sampler = sampler
         self.config = config
         self.rng = rng
+        self.timer = timer or StageTimer()
         self.phase = WALK
         self.goals_used = 0
         self.mission: Optional[_Mission] = None
@@ -165,10 +167,11 @@ class _Episode:
     def _policy_goal(self, semantic_name: str) -> np.ndarray:
         """Semantic-search goal from this episode's fleet slab
         (mirrors agent/loop._policy_goal; reference: agent.py:328-339)."""
-        self._policy_key, sub = jax.random.split(self._policy_key)
-        vm = self._fleet.view(semantic_name, self.index)
-        cell = self._policy(vm.data, sub)
-        return np.asarray(vm.map_to_world(cell.astype(jnp.float32)))
+        with self.timer.stage("search_policy"):
+            self._policy_key, sub = jax.random.split(self._policy_key)
+            vm = self._fleet.view(semantic_name, self.index)
+            cell = self._policy(vm.data, sub)
+            return np.asarray(vm.map_to_world(cell.astype(jnp.float32)))
 
     def _enter_unshuffle(self) -> None:
         self.task = self.sampler.next_task()
@@ -187,10 +190,11 @@ class _Episode:
         candidates = (self.object_ids_to_move
                       if cfg.ground_truth_disagreement
                       else range(taxonomy.NUM_CLASSES))
-        cls, goals0, goals1 = predict_scene_differences(
-            fleet.view("semantic0", self.index),
-            fleet.view("semantic1", self.index),
-            None, None, self.objects_moved, candidates, cfg.match)
+        with self.timer.stage("matching"):
+            cls, goals0, goals1 = predict_scene_differences(
+                fleet.view("semantic0", self.index),
+                fleet.view("semantic1", self.index),
+                None, None, self.objects_moved, candidates, cfg.match)
         if cls is None:
             return False
         self.objects_moved.add(cls)
@@ -321,11 +325,17 @@ class FleetEvaluator:
                     "semantic1": taxonomy.NUM_CLASSES}
         if not config.navigate_on_semantic:
             families["occupancy"] = 1
+        # ONE fleet-level timer: stages are shared across the whole
+        # lockstep batch (a tick's mapping dispatch serves B episodes),
+        # so the summary lands on episode 0's results only — a fleet
+        # logdir's timing block reads as per-FLEET, not per-task
+        self.timer = StageTimer()
         # layout "auto": FleetMaps resolves it by backend (cmajor slabs
         # on TPU for the Pallas span kernels, vmajor sparse rows on
         # host backends — docs/performance.md)
-        self.fleet = FleetMaps(B, config.camera, _geometry_of(config),
-                               families)
+        with self.timer.stage("init_fleet"):
+            self.fleet = FleetMaps(B, config.camera,
+                                   _geometry_of(config), families)
 
         policy = None
         if policy_params is not None:
@@ -343,7 +353,8 @@ class FleetEvaluator:
         seeds = seeds or list(range(B))
         self.episodes = [
             _Episode(i, samplers[i], config, self.fleet,
-                     np.random.RandomState(seeds[i]), policy=policy)
+                     np.random.RandomState(seeds[i]), policy=policy,
+                     timer=self.timer)
             for i in range(B)]
         self._planner = self._make_fleet_planner()
 
@@ -402,15 +413,26 @@ class FleetEvaluator:
                     bins_z[idx], agents, goals)
 
         def planner(group, obs, refresh):
+            # pad the group to the FULL fleet size with copies of its
+            # first episode: group size shrinks as episodes finish, and
+            # every distinct size is a fresh XLA compile of the plan
+            # jit (measured: 8 compiles, ~37 s of a 4-episode fleet's
+            # wall) — padded slots' plans are simply never read back out
+            padded = group + [group[0]] * (B - len(group))
+            # stack grids HOST-side: after the first tick every
+            # nav_grid leaf is numpy (the batched plan readback below),
+            # so np.stack costs no device ops and the upload happens
+            # once at the jit call boundary — jnp.stack here issued
+            # per-leaf device ops every tick
             grids = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs),
-                *[ep.controller.nav_grid for ep in group])
-            idx = jnp.asarray([ep.index for ep in group], jnp.int32)
-            agents = jnp.asarray(
-                [obs[ep.index]["position"] for ep in group],
-                jnp.float32)
-            goals = jnp.asarray([ep.mission.goal for ep in group],
-                                jnp.float32)
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[ep.controller.nav_grid for ep in padded])
+            idx = np.asarray([ep.index for ep in padded], np.int32)
+            agents = np.asarray(
+                [obs[ep.index]["position"] for ep in padded],
+                np.float32)
+            goals = np.asarray([ep.mission.goal for ep in padded],
+                               np.float32)
             if refresh:
                 return plan_group_refresh(
                     grids, fleet.buffers[nav_name], fleet.bins_x,
@@ -432,6 +454,13 @@ class FleetEvaluator:
             if not group:
                 continue
             out = self._planner(group, obs, refresh)
+            # read the WHOLE group's plan back in ONE device_get: the
+            # per-episode decide_from_plan otherwise pays one tunnel
+            # round trip each (B x 30-130 ms per tick was the fleet's
+            # dominant cost on the TPU backend — docs/experiments.md
+            # "Fleet serving"); numpy plan trees make its device_get a
+            # no-op and next tick's grid stacking host-side
+            out = jax.device_get(out)
             for k, ep in enumerate(group):
                 plans[ep.index] = jax.tree_util.tree_map(
                     lambda x: x[k], out)
@@ -439,10 +468,11 @@ class FleetEvaluator:
 
     def tick(self) -> bool:
         """One lockstep step; returns False when every episode is done."""
-        for ep in self.episodes:
-            if ep.phase != DONE and ep.mission is None:
-                ep.advance(self.fleet)
-        live = [ep for ep in self.episodes if ep.phase != DONE]
+        with self.timer.stage("fsm"):
+            for ep in self.episodes:
+                if ep.phase != DONE and ep.mission is None:
+                    ep.advance(self.fleet)
+            live = [ep for ep in self.episodes if ep.phase != DONE]
         if not live:
             return False
 
@@ -471,26 +501,29 @@ class FleetEvaluator:
             goal_active = {name: np.zeros((B,), bool)
                            for name in self.fleet.names}
         obs: Dict[int, Dict] = {}
-        for ep in live:
-            o = dict(ep.task.get_observations())
-            ep.controller.process_observations(o, update_map=None)
-            obs[ep.index] = o
+        with self.timer.stage("observe"):
+            for ep in live:
+                o = dict(ep.task.get_observations())
+                ep.controller.process_observations(o, update_map=None)
+                obs[ep.index] = o
 
         if self._batched_sensor is not None:
             # learned segmentation for the WHOLE fleet in one device
             # dispatch (the sequential driver's SegmentationTaskWrapper
             # swap, batched); frames of finished episodes ride as zeros
             # so the compiled shape is constant
-            rgb = np.zeros((B, cam.height, cam.width, 3), np.float32)
-            for ep in live:
-                rgb[ep.index] = np.asarray(obs[ep.index]["rgb"],
-                                           np.float32)
-            sem_batch = self._batched_sensor(rgb)
-            for ep in live:
-                o = obs[ep.index]
-                if "semantic" in o:
-                    o["gt_semantic"] = o["semantic"]
-                o["semantic"] = sem_batch[ep.index]
+            with self.timer.stage("segmentation"):
+                rgb = np.zeros((B, cam.height, cam.width, 3),
+                               np.float32)
+                for ep in live:
+                    rgb[ep.index] = np.asarray(obs[ep.index]["rgb"],
+                                               np.float32)
+                sem_batch = self._batched_sensor(rgb)
+                for ep in live:
+                    o = obs[ep.index]
+                    if "semantic" in o:
+                        o["gt_semantic"] = o["semantic"]
+                    o["semantic"] = sem_batch[ep.index]
 
         for ep in live:
             o = obs[ep.index]
@@ -514,19 +547,23 @@ class FleetEvaluator:
                 active[name][ep.index] = True
                 if name in classes:
                     classes[name][ep.index] = sem
-        self.fleet.update_batch(positions, yaws, elevations, depths,
-                                classes, active=active)
-        if one_phase and any(m.any() for m in goal_active.values()):
+        with self.timer.stage("mapping"):
             self.fleet.update_batch(positions, yaws, elevations,
-                                    goal_depths, goal_classes,
-                                    active=goal_active)
+                                    depths, classes, active=active)
+            if one_phase and any(m.any()
+                                 for m in goal_active.values()):
+                self.fleet.update_batch(positions, yaws, elevations,
+                                        goal_depths, goal_classes,
+                                        active=goal_active)
 
         # --- batched planning, per-episode decisions + env steps
-        plans = self._plan_groups(live, obs)
+        with self.timer.stage("planning"):
+            plans = self._plan_groups(live, obs)
         for ep in live:
             ep.mission.calls += 1
-            action = ep.controller.decide_from_plan(
-                obs[ep.index], ep.mission.goal, plans[ep.index])
+            with self.timer.stage("decide"):
+                action = ep.controller.decide_from_plan(
+                    obs[ep.index], ep.mission.goal, plans[ep.index])
             done = ep.task.is_done()
             exhausted = (ep.mission.max_steps and
                          ep.mission.calls > ep.mission.max_steps)
@@ -538,15 +575,28 @@ class FleetEvaluator:
                 if done and ep.phase != WALK:
                     ep._finish()
                 continue
-            result = ep.task.step(action)
+            with self.timer.stage("simulator"):
+                result = ep.task.step(action)
             if not result.action_success:
                 ep.controller.failed_action(obs[ep.index], action)
         return True
 
     def run(self) -> List[Dict]:
-        while self.tick():
-            pass
-        return [ep.results for ep in self.episodes]
+        # "tick_loop" wraps the whole lockstep loop: (tick_loop − the
+        # per-stage totals) is the untimed host-side residue, and
+        # (process wall − tick_loop − init_fleet) is startup cost
+        with self.timer.stage("tick_loop"):
+            while self.tick():
+                pass
+        results = [ep.results for ep in self.episodes]
+        # fleet-LEVEL stage summary on episode 0 only: every stage
+        # here serves the whole lockstep batch at once, so per-task
+        # aggregation (tools/analyze.py timing) must see it once per
+        # fleet, not B times.  "fsm" includes the nested "matching" /
+        # "search_policy" stages.
+        if results and results[0] is not None:
+            results[0]["timing"] = self.timer.summary()
+        return results
 
 
 def _geometry_of(config: AgentConfig):
