@@ -26,6 +26,7 @@ Logical indexing everywhere remains the reference's
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -62,6 +63,19 @@ def resolved_layout(g: MapGeometry) -> str:
 
 
 _resolved_layout = resolved_layout    # internal alias (pre-public name)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "h", "w", "d"))
+def _cmajor_max_over_depth(data, *, c, h, w, d):
+    """Fused slice+reshape+z-reduce over a channel-major slab.
+
+    Must stay jitted: dispatched eagerly, the ``data[:c]`` slice
+    materializes a full [C, V] copy (~3 GB at the reference default
+    384x384x96x54 geometry), which ResourceExhausts the chip next to
+    two live semantic slabs.  Fused, the peak extra memory is just the
+    [H, W, C] output."""
+    per_c = data[:c].reshape(c, h, w, d)
+    return jnp.max(per_c, axis=-1).transpose(1, 2, 0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -334,13 +348,15 @@ class VoxelMap:
         policy input (reference: agent.py:330-331 ``data.amax(dim=2)``)."""
         g = self.geometry
         if self.layout == "cmajor":
-            per_c = self.data[:g.feature_size].reshape(
-                g.feature_size, g.map_height, g.map_width, g.map_depth)
-            return jnp.max(per_c, axis=-1).transpose(1, 2, 0)
+            return _cmajor_max_over_depth(
+                self.data, c=g.feature_size, h=g.map_height,
+                w=g.map_width, d=g.map_depth)
         return jnp.max(self.grid(), axis=2)
 
     def occupancy_mask(self, z_start: int = 0, z_stop: int = 32,
                        threshold: float = 0.0) -> jax.Array:
+        # only called under jit (nav planners), so the cmajor
+        # jnp.abs(full slab) below fuses into the reduction
         """[H, W] bool — any voxel in the slice has L1 feature norm above
         threshold (reference: mass/navigation_policy.py:204-217)."""
         g = self.geometry
