@@ -32,6 +32,13 @@ BASELINE_FRAMES = int(os.environ.get("BENCH_BASELINE_FRAMES", "6"))
 # matmuls, the production default) or "highest" (strict-parity f32,
 # ~1.65x slower on chip) — docs/performance.md "MXU precision on chip"
 PRECISION = os.environ.get("BENCH_PRECISION", "default")
+if PRECISION not in ("default", "highest"):
+    raise SystemExit(
+        f"BENCH_PRECISION must be 'default' or 'highest', "
+        f"got {PRECISION!r}")
+# timed repeats; the reported value is their median (one rep is
+# exposed to tunnel noise — BENCH_r03 lost 30% to a single sample)
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
 def measure_tpu():
@@ -83,19 +90,26 @@ def measure_tpu():
                     0, NUM_CLASSES, (k, CAMERA, CAMERA)).astype(np.int32)))
 
     vm = VoxelMap.create(geo, (0.0, 0.0, 0.0))
-    vm = run_chunk(vm, *chunk(FRAMES))      # warmup / compile
+    frames = chunk(FRAMES)
+    # inputs MUST be on device before the timer starts: ~52 MB of
+    # host->device transfers left in flight would drain inside the
+    # timed window (measured: 124 vs 206 fps at FRAMES=128 through the
+    # tunnel — the whole BENCH_r03-vs-docs 137/200 discrepancy)
+    jax.block_until_ready(frames)
+    vm = run_chunk(vm, *frames)             # warmup / compile
     float(vm.data[0, 0])                     # force full sync
 
-    frames = chunk(FRAMES)
-    t0 = time.perf_counter()
-    vm = run_chunk(vm, *frames)
-    # host readback of ONE element: real sync on the async tunnel
-    # without dispatching extra work (the previous full reshape
-    # readback copied the whole 3 GB map — amortized over 128 on-chip
-    # frames, but dominant in the 8-frame degraded-mode window)
-    float(vm.data[0, 0])
-    dt = time.perf_counter() - t0
-    return FRAMES / dt
+    reps = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        vm = run_chunk(vm, *frames)
+        # host readback of ONE element: real sync on the async tunnel
+        # without dispatching extra work (a full reshape readback would
+        # copy the whole 3 GB map)
+        float(vm.data[0, 0])
+        reps.append(FRAMES / (time.perf_counter() - t0))
+    # median of REPEATS in one process: robust to tunnel noise
+    return float(np.median(reps))
 
 
 def measure_torch_cpu():
@@ -193,14 +207,18 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
         "platform": platform,
+        # default vs highest differ 1.65x on chip — a record without
+        # the mode is ambiguous (docs/performance.md)
+        "precision": PRECISION,
+        "repeats": REPEATS,
     }
     if degraded:
         # the XLA fallback pays a full-map multiplier pass per frame
         # (1.6e9 elements) that the TPU kernel fuses; the recorded
         # on-chip number is the meaningful one
         out["note"] = ("degraded-mode measurement; last recorded "
-                       "on-chip result: 158.4 fps, 68.65x baseline "
-                       "(BENCH_r01)")
+                       "on-chip result: ~207 fps median-of-3 "
+                       "(round 4, default precision)")
     print(json.dumps(out))
 
 

@@ -70,6 +70,17 @@ class MapGeometry:
     # docs/performance.md "MXU precision on chip".
     precision: str = "default"
 
+    def __post_init__(self):
+        if self.precision not in ("default", "highest"):
+            raise ValueError(
+                f"MapGeometry.precision must be 'default' (hardware-"
+                f"native bf16-input matmuls) or 'highest' (strict f32); "
+                f"got {self.precision!r}")
+        if self.layout not in ("auto", "cmajor", "vmajor"):
+            raise ValueError(
+                f"MapGeometry.layout must be 'auto', 'cmajor' or "
+                f"'vmajor'; got {self.layout!r}")
+
     @property
     def num_voxels(self) -> int:
         return self.map_height * self.map_width * self.map_depth

@@ -355,8 +355,9 @@ class VoxelMap:
 
     def occupancy_mask(self, z_start: int = 0, z_stop: int = 32,
                        threshold: float = 0.0) -> jax.Array:
-        # only called under jit (nav planners), so the cmajor
-        # jnp.abs(full slab) below fuses into the reduction
+        # must only run under jit (nav/grid.navigable_area is jitted for
+        # exactly this): eagerly, the cmajor data[:F] slice materializes
+        # a full slab copy (~3 GB at production geometry)
         """[H, W] bool — any voxel in the slice has L1 feature norm above
         threshold (reference: mass/navigation_policy.py:204-217)."""
         g = self.geometry

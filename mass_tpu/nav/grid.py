@@ -33,12 +33,21 @@ from mass_tpu.ops.pool import max_pool2d_same
 INF = np.int32(1 << 28)
 
 
+@functools.partial(jax.jit, static_argnames=("padding", "z_start",
+                                              "z_stop"))
 def navigable_area(vm: VoxelMap, padding: int = 3, z_start: int = 0,
                    z_stop: int = 32,
                    obstacle_threshold: float = 0.0) -> jax.Array:
     """[H, W] bool — cells with no occupied voxel in the z slice, eroded
     by ``padding`` cells around obstacles (reference:
-    mass/navigation_policy.py:173-221)."""
+    mass/navigation_policy.py:173-221).
+
+    Jitted at this level because the controller calls it EAGERLY once
+    per construction (reset_navigation_grid); un-jitted, the cmajor
+    occupancy_mask's ``data[:F]`` slice would materialize a ~3 GB slab
+    copy at production geometry next to two live semantic slabs
+    (the same eager-slab-read OOM class as max_over_depth —
+    docs/performance.md)."""
     blocked = vm.occupancy_mask(z_start, z_stop, obstacle_threshold)
     if padding > 0:
         blocked = max_pool2d_same(blocked, padding)

@@ -589,13 +589,15 @@ class FleetEvaluator:
             while self.tick():
                 pass
         results = [ep.results for ep in self.episodes]
-        # fleet-LEVEL stage summary on episode 0 only: every stage
-        # here serves the whole lockstep batch at once, so per-task
-        # aggregation (tools/analyze.py timing) must see it once per
-        # fleet, not B times.  "fsm" includes the nested "matching" /
+        # fleet-LEVEL stage summary on episode 0 only, under its OWN
+        # key: every stage here serves the whole lockstep batch at
+        # once, so per-task aggregation (tools/analyze.py timing) must
+        # not average one fleet-wide total against B-times-smaller
+        # per-task "timing" blocks from sequential runs in the same
+        # logdir.  "fsm" includes the nested "matching" /
         # "search_policy" stages.
         if results and results[0] is not None:
-            results[0]["timing"] = self.timer.summary()
+            results[0]["fleet_timing"] = self.timer.summary()
         return results
 
 

@@ -50,20 +50,33 @@ def timing_table(logdirs: List[str]) -> Dict[str, Dict[str, Dict]]:
     for logdir in logdirs:
         stages: Dict[str, Dict] = {}
         tasks = 0
+        records = 0
         for rec in load_results(logdir):
+            records += 1
             timing = rec.get("timing")
-            if not timing:
-                continue
-            tasks += 1
-            for stage, row in timing.items():
+            if timing:
+                tasks += 1
+            # fleet-wide summaries (parallel/evaluator.py writes one
+            # per batch under "fleet_timing") aggregate under a
+            # "fleet:" prefix so they never average against per-task
+            # blocks from sequential runs in the same logdir
+            blocks = ([(stage, row) for stage, row in timing.items()]
+                      if timing else [])
+            blocks += [("fleet:" + stage, row) for stage, row
+                       in (rec.get("fleet_timing") or {}).items()]
+            for stage, row in blocks:
                 agg = stages.setdefault(
                     stage, {"total_s": 0.0, "count": 0})
                 agg["total_s"] += row.get("total_s", 0.0)
                 agg["count"] += row.get("count", 0)
-        for agg in stages.values():
+        for stage, agg in stages.items():
             agg["mean_ms"] = (1e3 * agg["total_s"] / agg["count"]
                               if agg["count"] else 0.0)
-            agg["s_per_task"] = (agg["total_s"] / tasks if tasks
+            # fleet blocks are batch-wide: amortize over every result
+            # record in the logdir, not just those carrying per-task
+            # timing (a fleet batch of B tasks writes ONE block)
+            denom = records if stage.startswith("fleet:") else tasks
+            agg["s_per_task"] = (agg["total_s"] / denom if denom
                                  else 0.0)
         stages["_tasks"] = tasks
         out[os.path.basename(os.path.normpath(logdir))] = stages
