@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid-world room side in metres (bigger rooms "
                         "make exploration scarce, the regime where "
                         "search policies matter)")
+    p.add_argument("--num-rooms", type=int, default=1,
+                   help="partition the grid-world scene into N rooms "
+                        "with interior walls + doorways: objects hide "
+                        "in occluded side rooms, the regime where "
+                        "directed semantic search beats random "
+                        "exploration")
 
     p.add_argument("--ground-truth-segmentation", action="store_true")
     p.add_argument("--detector-checkpoint", type=str, default=None,
@@ -253,7 +259,8 @@ def make_sampler(args, config: AgentConfig):
             num_misplaced=args.num_misplaced,
             num_opened=args.num_opened,
             duplicate_class_pairs=args.duplicate_class_pairs,
-            room=(args.room_size, 2.5, args.room_size))
+            room=(args.room_size, 2.5, args.room_size),
+            num_rooms=args.num_rooms)
     sensor = load_segmentation_sensor(args)
     if sensor is not None:
         from mass_tpu.perception.segmentation import SegmentationSampler
@@ -326,7 +333,8 @@ def run_fleet(args, config, policy=None):
             num_misplaced=args.num_misplaced,
             num_opened=args.num_opened,
             duplicate_class_pairs=args.duplicate_class_pairs,
-            room=(args.room_size, 2.5, args.room_size))
+            room=(args.room_size, 2.5, args.room_size),
+            num_rooms=args.num_rooms)
             for s in batch]
         evaluator = FleetEvaluator(
             config, samplers, seeds=[args.seed + s for s in batch],

@@ -116,14 +116,24 @@ def _native_renderer():
 
 
 class GridWorld:
-    """One room state (a set of object instances + geometry)."""
+    """One room state (a set of object instances + geometry).
+
+    ``walls`` are interior wall segments — (lo, hi) sim-frame AABBs,
+    rendered and collided like the perimeter (class 0 OccupiedSpace).
+    Multi-room layouts (walls with doorway gaps) create the occluded-
+    exploration regime where one vantage point no longer reveals the
+    scene and directed semantic search can beat random goal sampling
+    (the reference's core claim; reference: agent.py:744-770)."""
 
     WALL_THICKNESS = 0.05
 
     def __init__(self, room_size=(6.0, 2.5, 6.0),
-                 objects: Optional[List[ObjectInstance]] = None):
+                 objects: Optional[List[ObjectInstance]] = None,
+                 walls: Optional[List[Tuple[np.ndarray,
+                                            np.ndarray]]] = None):
         self.room_size = np.asarray(room_size, np.float64)
         self.objects: List[ObjectInstance] = objects or []
+        self.walls: List[Tuple[np.ndarray, np.ndarray]] = walls or []
 
     def clone(self) -> "GridWorld":
         return GridWorld(tuple(self.room_size),
@@ -132,7 +142,9 @@ class GridWorld:
                              size=o.size.copy(),
                              tint=(None if o.tint is None
                                    else o.tint.copy()))
-                          for o in self.objects])
+                          for o in self.objects],
+                         [(lo.copy(), hi.copy())
+                          for lo, hi in self.walls])
 
     def static_boxes(self):
         """Floor, ceiling and four walls as (lo, hi, class 0)."""
@@ -145,6 +157,8 @@ class GridWorld:
             (np.asarray([0, 0, -t]), np.asarray([sx, sy, 0])),       # z=0
             (np.asarray([0, 0, sz]), np.asarray([sx, sy, sz + t])),
         ]
+        boxes += [(np.asarray(lo, np.float64), np.asarray(hi, np.float64))
+                  for lo, hi in self.walls]
         return boxes
 
     def _world_boxes(self):
@@ -252,6 +266,10 @@ class GridWorld:
         if not (agent_radius <= x <= sx - agent_radius and
                 agent_radius <= z <= sz - agent_radius):
             return True
+        for lo, hi in self.walls:     # interior walls span full height
+            if (lo[0] - agent_radius <= x <= hi[0] + agent_radius and
+                    lo[2] - agent_radius <= z <= hi[2] + agent_radius):
+                return True
         for obj in self.objects:
             if ignore is not None and obj.name == ignore:
                 continue

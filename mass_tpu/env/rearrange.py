@@ -305,12 +305,65 @@ def _class_of_action(name: str, prefix: str) -> int:
 
 # --------------------------------------------------------------- sampler
 
+def interior_wall_layout(rng: np.random.RandomState,
+                         room: Tuple[float, float, float],
+                         num_rooms: int,
+                         door_width: float = 1.2,
+                         thickness: float = 0.1):
+    """Random interior walls partitioning the room into ``num_rooms``
+    connected rooms (each wall carries one doorway gap, floor to
+    ceiling).  Returns ``(walls, door_centers)`` — walls as sim-frame
+    (lo, hi) AABBs, door centers as (x, z) for keep-clear checks.
+
+    Layouts: 2 rooms = one full-span wall parallel to z; 3/4 rooms =
+    that wall plus a perpendicular wall across one/both halves.  This
+    creates the occluded-exploration regime of multi-room THOR scenes
+    (SURVEY.md §6 notes search matters when one goal cannot reveal the
+    scene; reference: agent.py:744-770)."""
+    sx, sy, sz = room
+    walls, doors = [], []
+    if num_rooms <= 1:
+        return walls, doors
+    t = thickness
+
+    def wall_x(wx, z0, z1):
+        """Wall at constant x spanning [z0, z1] with a door gap."""
+        gap = rng.uniform(z0 + 0.4, max(z0 + 0.4, z1 - 0.4 - door_width))
+        walls.extend([
+            (np.asarray([wx - t / 2, 0.0, z0]),
+             np.asarray([wx + t / 2, sy, gap])),
+            (np.asarray([wx - t / 2, 0.0, gap + door_width]),
+             np.asarray([wx + t / 2, sy, z1]))])
+        doors.append((wx, gap + door_width / 2))
+
+    def wall_z(wz, x0, x1):
+        gap = rng.uniform(x0 + 0.4, max(x0 + 0.4, x1 - 0.4 - door_width))
+        walls.extend([
+            (np.asarray([x0, 0.0, wz - t / 2]),
+             np.asarray([gap, sy, wz + t / 2])),
+            (np.asarray([gap + door_width, 0.0, wz - t / 2]),
+             np.asarray([x1, sy, wz + t / 2]))])
+        doors.append((gap + door_width / 2, wz))
+
+    wx = sx * rng.uniform(0.4, 0.6)
+    wall_x(wx, 0.0, sz)
+    if num_rooms >= 3:
+        wz = sz * rng.uniform(0.4, 0.6)
+        halves = [(0.0, wx - t / 2), (wx + t / 2, sx)]
+        order = rng.permutation(2)
+        wall_z(wz, *halves[order[0]])
+        if num_rooms >= 4:
+            wall_z(sz * rng.uniform(0.4, 0.6), *halves[order[1]])
+    return walls, doors
+
+
 def generate_episode(seed: int, num_objects: int = 5,
                      num_misplaced: int = 2, num_opened: int = 1,
                      room: Tuple[float, float, float] = (6.0, 2.5, 6.0),
                      camera: CameraConfig = CameraConfig(),
                      max_steps: int = 250,
                      duplicate_class_pairs: int = 0,
+                     num_rooms: int = 1,
                      ) -> RearrangeEpisode:
     """Random solvable episode: objects on the floor, a subset displaced
     (and/or openness-changed) in the unshuffle phase.
@@ -320,7 +373,12 @@ def generate_episode(seed: int, num_objects: int = 5,
     misplaced — the scenario where size-based instance matching is
     ambiguous and only appearance features can pair instances across
     phases (the reference's ``--use-feature-matching`` win,
-    reference: README.md:39, mass/utils/experimentation.py:261-273)."""
+    reference: README.md:39, mass/utils/experimentation.py:261-273).
+
+    ``num_rooms`` >= 2 partitions the scene with interior walls +
+    doorways (``interior_wall_layout``), so objects can be occluded in
+    side rooms the agent must discover — the regime where semantic
+    search matters."""
     rng = np.random.RandomState(seed)
     sx, _, sz = room
 
@@ -331,15 +389,24 @@ def generate_episode(seed: int, num_objects: int = 5,
     classes = list(rng.choice(pickable_ids, num_objects, replace=False))
     classes += list(rng.choice(openable_ids, num_opened, replace=False))
 
+    walls, doors = interior_wall_layout(rng, room, num_rooms)
+
+    def door_clear(x, z, clearance=0.9):
+        return all(np.hypot(x - dx, z - dz) > clearance
+                   for dx, dz in doors)
+
     def random_spot(world, size):
         for _ in range(200):
             x = rng.uniform(0.8, sx - 0.8)
             z = rng.uniform(0.8, sz - 0.8)
-            if not world.blocked(x, z, agent_radius=0.45):
+            # keep doorways passable: an object at a door gap plus the
+            # planner's obstacle erosion could seal the only corridor
+            if not world.blocked(x, z, agent_radius=0.45) and \
+                    door_clear(x, z):
                 return np.asarray([x, 0.0, z])
         raise RuntimeError("could not place object")
 
-    goal_world = GridWorld(room)
+    goal_world = GridWorld(room, walls=walls)
     for k, cls in enumerate(classes):
         openable = taxonomy.ID_TO_OPENABLE[cls]
         size = rng.uniform(0.25, 0.55, 3) if not openable else \

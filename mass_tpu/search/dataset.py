@@ -156,6 +156,14 @@ def main(argv=None):
     p.add_argument("--room-size", type=float, default=6.0,
                    help="room side in metres (match the evaluation "
                         "scenes' --room-size)")
+    p.add_argument("--num-rooms", type=int, default=1,
+                   help="interior-wall rooms per scene (match the "
+                        "evaluation scenes' --num-rooms)")
+    p.add_argument("--num-objects", type=int, default=2)
+    p.add_argument("--num-misplaced", type=int, default=1)
+    p.add_argument("--exploration-goals", type=int, default=None,
+                   help="override the per-phase goal budgets (more "
+                        "snapshots per scene)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
@@ -172,6 +180,11 @@ def main(argv=None):
         obstacle_padding=args.obstacle_padding,
         map_slice_start=args.map_slice_start,
         map_slice_stop=args.map_slice_stop)
+    if args.exploration_goals:
+        import dataclasses
+        config = dataclasses.replace(
+            config, exploration_budget_one=args.exploration_goals,
+            exploration_budget_two=args.exploration_goals)
     os.makedirs(args.logdir, exist_ok=True)
     for task_id in range(args.start_task,
                          args.start_task + args.total_tasks):
@@ -180,8 +193,10 @@ def main(argv=None):
             continue
         sampler = GridWorldTaskSampler(
             [task_id], camera=config.camera, max_steps=args.max_steps,
-            num_objects=2, num_misplaced=1, num_opened=0,
-            room=(args.room_size, 2.5, args.room_size))
+            num_objects=args.num_objects,
+            num_misplaced=args.num_misplaced, num_opened=0,
+            room=(args.room_size, 2.5, args.room_size),
+            num_rooms=args.num_rooms)
         rng = np.random.RandomState(args.seed + task_id)
         data = collect_task(sampler, config, rng)
         np.savez_compressed(out, **data)

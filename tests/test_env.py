@@ -202,3 +202,76 @@ def test_duplicate_class_pairs_episode():
     moved = [not np.allclose(g.position, s.position)
              for g, s in zip(dups_g, dups_s)]
     assert sum(moved) == 1
+
+
+# ------------------------------------------------------- multi-room
+
+
+def _flood_reachable_fraction(world, res=0.1):
+    """Fraction of free cells reachable from the first free cell."""
+    from collections import deque
+    sx, _, sz = world.room_size
+    nx, nz = int(sx / res), int(sz / res)
+    free = np.zeros((nx, nz), bool)
+    for i in range(nx):
+        for j in range(nz):
+            free[i, j] = not world.blocked(
+                (i + .5) * res, (j + .5) * res, agent_radius=0.2)
+    seed = tuple(np.argwhere(free)[0])
+    seen = {seed}
+    q = deque([seed])
+    while q:
+        i, j = q.popleft()
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            n = (i + di, j + dj)
+            if (0 <= n[0] < nx and 0 <= n[1] < nz and free[n]
+                    and n not in seen):
+                seen.add(n)
+                q.append(n)
+    return len(seen) / free.sum()
+
+
+def test_interior_walls_block_and_render():
+    """An interior wall occludes and collides like the perimeter."""
+    w = GridWorld((6.0, 2.5, 6.0),
+                  walls=[(np.asarray([2.95, 0.0, 0.0]),
+                          np.asarray([3.05, 2.5, 6.0]))])
+    # collision: the wall line is blocked, either side is free
+    assert w.blocked(3.0, 3.0)
+    assert not w.blocked(1.5, 3.0) and not w.blocked(4.5, 3.0)
+    # render: looking +x from the left half, every ray that would reach
+    # the far perimeter (x=6) stops at the wall (depth ~1.5, class 0)
+    pose = AgentPose(x=1.5, y=0.0, z=3.0, rotation_degrees=90.0,
+                     horizon_degrees=0.0)
+    rgb, depth, sem = w.render(CAM, pose)
+    center = depth[CAM.height // 2, CAM.width // 2, 0]
+    assert 1.3 < center < 1.7, center
+    assert sem[CAM.height // 2, CAM.width // 2, 0] == 0
+
+
+def test_multiroom_episode_connected_and_clear():
+    """Every generated layout stays fully connected through doorways,
+    objects keep out of door gaps, and walls are shared across the
+    phase worlds."""
+    for seed in range(6):
+        for num_rooms in (2, 3, 4):
+            ep = RR.generate_episode(
+                seed, num_objects=3, num_misplaced=2, num_opened=0,
+                room=(8.0, 2.5, 8.0), camera=CAM, num_rooms=num_rooms)
+            w = ep.goal_world
+            assert len(w.walls) >= 2 * (num_rooms - 1)
+            assert _flood_reachable_fraction(w) > 0.95
+            # same walls in both phases (clone copies them)
+            assert len(ep.start_world.walls) == len(w.walls)
+            # objects placed clear of walls and doorways
+            for obj in w.objects:
+                assert not any(
+                    lo[0] - 0.2 <= obj.position[0] <= hi[0] + 0.2 and
+                    lo[2] - 0.2 <= obj.position[2] <= hi[2] + 0.2
+                    for lo, hi in w.walls), (seed, num_rooms, obj.name)
+
+
+def test_single_room_has_no_walls():
+    ep = RR.generate_episode(0, num_objects=2, num_misplaced=1,
+                             num_opened=0, camera=CAM, num_rooms=1)
+    assert ep.goal_world.walls == []
