@@ -142,6 +142,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "feature-matching): one device dispatch per "
                         "stage serves the whole fleet "
                         "(parallel/evaluator.py)")
+    p.add_argument("--shard-map", type=int, default=0,
+                   help="row-shard every voxel map over an N-device "
+                        "'map' mesh axis (parallel/sharding.py). The "
+                        "spatial scaling axis for maps larger than one "
+                        "chip's HBM; validate host-side with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=8 --platform cpu --shard-map 8")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None,
                    help="force the JAX backend by platform name (cpu, "
@@ -190,6 +197,7 @@ def config_from_args(args) -> AgentConfig:
         use_feature_matching=args.use_feature_matching,
         record_found_objects=args.record_found_objects,
         snapshot_maps=args.snapshot_maps,
+        shard_map=args.shard_map,
         one_phase=args.one_phase,
         logdir=args.logdir, stage=args.stage,
         start_task=args.start_task, every_tasks=args.every_tasks,

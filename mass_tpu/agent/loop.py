@@ -90,7 +90,14 @@ class RearrangementAgent:
         geo_kw = dict(map_height=config.map_height,
                       map_width=config.map_width,
                       map_depth=config.map_depth,
-                      grid_resolution=config.grid_resolution)
+                      grid_resolution=config.grid_resolution,
+                      precision=config.map_precision)
+        if config.shard_map > 1:
+            # row-shard every map over an N-device "map" mesh axis;
+            # layers switch to vmajor storage + shard_map updates
+            # (parallel/sharding.py)
+            from mass_tpu.parallel import make_mesh
+            geo_kw["mesh"] = make_mesh((config.shard_map,), ("map",))
         map_set_cls = OnePhaseMapSet if config.one_phase else MapSet
         self.maps = map_set_cls(
             semantic0=SemanticMap(cam, taxonomy.NUM_CLASSES, **geo_kw),

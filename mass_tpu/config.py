@@ -164,6 +164,11 @@ class AgentConfig:
     # build simultaneously (reference:
     # mass/thor/segmentation_config.py:484-598)
     one_phase: bool = False
+    # row-shard every voxel map over an N-device "map" mesh axis
+    # (parallel/sharding.py): 0/1 = single-device maps.  The spatial
+    # scaling axis for maps larger than one chip's HBM (SURVEY.md
+    # §5.7-5.8); num_voxels must divide by N.
+    shard_map: int = 0
     # navigate on the walkthrough semantic map instead of a dedicated
     # occupancy map: they are identical when updated in lockstep (an
     # occupancy update equals the semantic map's channel sum — see

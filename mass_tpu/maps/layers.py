@@ -22,7 +22,8 @@ dispatch.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+import dataclasses
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,28 +42,49 @@ def _pose_args(observation: Dict):
 
 
 class _BaseMap:
-    """Shared state handling: construction, reset, delegation."""
+    """Shared state handling: construction, reset, delegation.
+
+    ``mesh`` (optional) row-shards the map over a device-mesh axis
+    (parallel/sharding.py): storage switches to the partitionable
+    vmajor layout, updates run collective-free under ``shard_map``
+    (each device owns ``V/n`` voxel rows; corner records self-route by
+    bin id), and reads happen under jit's automatic partitioning.  This
+    is the framework's spatial scaling axis (SURVEY.md §5.7-5.8)."""
 
     # layers whose update is (shared binning) + (one-hot splat); map
     # groups reuse one orient/bin/corner pass per camera+grid signature
     shared_onehot = False
 
     def __init__(self, camera: CameraConfig, geometry: MapGeometry,
-                 origin=(0.0, 0.0, 0.0)):
+                 origin=(0.0, 0.0, 0.0), mesh=None,
+                 mesh_axis: str = "map"):
         self.camera = camera
+        if mesh is not None:
+            geometry = dataclasses.replace(geometry, layout="vmajor")
+            assert geometry.num_voxels % mesh.shape[mesh_axis] == 0, (
+                f"num_voxels {geometry.num_voxels} must divide over the "
+                f"{mesh.shape[mesh_axis]}-device '{mesh_axis}' axis")
         self.geometry = geometry
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.rays = G.camera_rays(camera.height, camera.width,
                                   camera.focal_length,
                                   camera.focal_length)
-        self.voxel_map = VoxelMap.create(geometry, origin)
+        self.voxel_map = self._place(VoxelMap.create(geometry, origin))
         # host-side reset generation: bins change ONLY here, so host
         # midpoint caches (core/voxelmap.HostMapToWorld) key on this
         # instead of re-reading bins off the device every jitted update
         self.bins_epoch = 0
 
+    def _place(self, vm: VoxelMap) -> VoxelMap:
+        if self.mesh is None:
+            return vm
+        from mass_tpu.parallel.sharding import shard_voxelmap
+        return shard_voxelmap(vm, self.mesh, self.mesh_axis)
+
     def reset(self, origin) -> None:
-        self.voxel_map = self.voxel_map.reset(
-            jnp.asarray(origin, jnp.float32))
+        self.voxel_map = self._place(self.voxel_map.reset(
+            jnp.asarray(origin, jnp.float32)))
         self.bins_epoch += 1
 
     # convenience delegation for planner / matcher / visualization
@@ -83,10 +105,11 @@ class OccupancyMap(_BaseMap):
     shared_onehot = True
 
     def __init__(self, camera: CameraConfig, config_geometry: MapGeometry
-                 = None, origin=(0.0, 0.0, 0.0), **geo_kwargs):
+                 = None, origin=(0.0, 0.0, 0.0), mesh=None,
+                 mesh_axis: str = "map", **geo_kwargs):
         geometry = config_geometry or MapGeometry(
             feature_size=1, **geo_kwargs)
-        super().__init__(camera, geometry, origin)
+        super().__init__(camera, geometry, origin, mesh, mesh_axis)
         rays = self.rays
 
         def update_fn(vm, position, yaw, elevation, depth, aux):
@@ -95,8 +118,16 @@ class OccupancyMap(_BaseMap):
                                      depth, classes)
 
         self.update_fn = update_fn
-        self._update = jax.jit(
-            lambda vm, p, y, e, d: update_fn(vm, p, y, e, d, None))
+        if mesh is not None:
+            from mass_tpu.parallel.sharding import sharded_update_fn
+            sharded = sharded_update_fn(mesh, self.geometry, mesh_axis,
+                                        onehot=True)
+            self._update = lambda vm, p, y, e, d: sharded(
+                vm, rays, p, y, e, d,
+                jnp.zeros(rays.shape[:2], jnp.int32))
+        else:
+            self._update = jax.jit(
+                lambda vm, p, y, e, d: update_fn(vm, p, y, e, d, None))
 
     def classes_for(self, aux, depth):
         return jnp.zeros(depth.shape[:2], jnp.int32)
@@ -116,10 +147,11 @@ class SemanticMap(_BaseMap):
 
     def __init__(self, camera: CameraConfig, num_classes: int = 54,
                  config_geometry: MapGeometry = None,
-                 origin=(0.0, 0.0, 0.0), **geo_kwargs):
+                 origin=(0.0, 0.0, 0.0), mesh=None,
+                 mesh_axis: str = "map", **geo_kwargs):
         geometry = config_geometry or MapGeometry(
             feature_size=num_classes, **geo_kwargs)
-        super().__init__(camera, geometry, origin)
+        super().__init__(camera, geometry, origin, mesh, mesh_axis)
         rays = self.rays
 
         def update_fn(vm, position, yaw, elevation, depth, classes):
@@ -127,7 +159,14 @@ class SemanticMap(_BaseMap):
                                      depth, classes)
 
         self.update_fn = update_fn
-        self._update = jax.jit(update_fn)
+        if mesh is not None:
+            from mass_tpu.parallel.sharding import sharded_update_fn
+            sharded = sharded_update_fn(mesh, self.geometry, mesh_axis,
+                                        onehot=True)
+            self._update = lambda vm, p, y, e, d, classes: sharded(
+                vm, rays, p, y, e, d, classes)
+        else:
+            self._update = jax.jit(update_fn)
 
     def classes_for(self, aux, depth):
         from mass_tpu.core import geometry as _G
@@ -155,10 +194,12 @@ class FeatureMap(_BaseMap):
     def __init__(self, camera: CameraConfig, feature_size: int,
                  backbone: Callable[[jax.Array], jax.Array],
                  stride: int = 4, config_geometry: MapGeometry = None,
-                 origin=(0.0, 0.0, 0.0), **geo_kwargs):
+                 origin=(0.0, 0.0, 0.0), mesh=None,
+                 mesh_axis: str = "map", **geo_kwargs):
         geometry = config_geometry or MapGeometry(
             feature_size=feature_size, layout="vmajor", **geo_kwargs)
-        super().__init__(camera.downsample(stride), geometry, origin)
+        super().__init__(camera.downsample(stride), geometry, origin,
+                         mesh, mesh_axis)
         self.stride = stride
         rays = self.rays
 
@@ -170,7 +211,20 @@ class FeatureMap(_BaseMap):
                              feats)
 
         self.update_fn = update_fn
-        self._update = jax.jit(update_fn)
+        if mesh is not None:
+            from mass_tpu.parallel.sharding import sharded_update_fn
+            sharded = sharded_update_fn(mesh, self.geometry, mesh_axis,
+                                        onehot=False)
+            embed = jax.jit(lambda rgb: backbone(rgb))
+
+            def _sharded_update(vm, p, y, e, depth, rgb):
+                k = stride
+                return sharded(vm, rays, p, y, e,
+                               depth[k // 2::k, k // 2::k], embed(rgb))
+
+            self._update = _sharded_update
+        else:
+            self._update = jax.jit(update_fn)
 
     def aux_from_observation(self, observation: Dict):
         return jnp.asarray(observation["rgb"], jnp.float32)
@@ -236,6 +290,11 @@ class MapSet(dict):
     def update_group(self, names, observation: Dict) -> None:
         """Update several maps from one observation in one jitted call."""
         names = [n for n in names if n in self]
+        # row-sharded layers update through their own shard_map path
+        # (collective-free slab routing) rather than the fused group jit
+        for n in [n for n in names if self[n].mesh is not None]:
+            self[n].update_from_observation(observation)
+        names = [n for n in names if self[n].mesh is None]
         if not names:
             return
         key = tuple(names)

@@ -333,9 +333,14 @@ class FleetEvaluator:
         # layout "auto": FleetMaps resolves it by backend (cmajor slabs
         # on TPU for the Pallas span kernels, vmajor sparse rows on
         # host backends — docs/performance.md)
+        mesh = None
+        if config.shard_map > 1:
+            from mass_tpu.parallel import make_mesh
+            mesh = make_mesh((config.shard_map,), ("map",))
         with self.timer.stage("init_fleet"):
             self.fleet = FleetMaps(B, config.camera,
-                                   _geometry_of(config), families)
+                                   _geometry_of(config), families,
+                                   mesh=mesh)
 
         policy = None
         if policy_params is not None:

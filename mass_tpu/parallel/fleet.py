@@ -52,15 +52,22 @@ class FleetMaps:
       feature_sizes: name -> channel count, e.g.
         ``{"semantic0": 54, "occupancy": 1}``.  Maps named
         ``occupancy*`` take implicit class 0 (no classes input needed).
+      mesh / mesh_axis: (optional) row-shard every family's slab over
+        this device-mesh axis — the ``B*V`` voxel axis is the natural
+        multi-chip partition (module docstring).  Forces vmajor slabs;
+        the jitted step/reset keep the placement (donated buffers), so
+        one ``device_put`` at construction shards the whole lifetime.
     """
 
     def __init__(self, batch: int, camera: CameraConfig,
                  geometry: MapGeometry,
-                 feature_sizes: Dict[str, int]):
+                 feature_sizes: Dict[str, int],
+                 mesh=None, mesh_axis: str = "map"):
         self.batch = batch
         self.camera = camera
         self.base_geometry = geometry
         self.names: List[str] = list(feature_sizes)
+        self.mesh = mesh
         self.rays = G.camera_rays(camera.height, camera.width,
                                   camera.focal_length,
                                   camera.focal_length)
@@ -76,6 +83,13 @@ class FleetMaps:
             name: resolved_layout(dataclasses.replace(
                 g, feature_size=f))
             for name, f in feature_sizes.items()}
+        if mesh is not None:
+            # sharded slabs need the partitionable [B*V, F] axis
+            n = mesh.shape[mesh_axis]
+            assert (batch * g.num_voxels) % n == 0, (
+                f"fleet slab rows {batch * g.num_voxels} must divide "
+                f"over the {n}-device '{mesh_axis}' axis")
+            self.layouts = {name: "vmajor" for name in self.layouts}
         self._fleet_geoms = {
             name: dataclasses.replace(
                 g, map_height=g.map_height * batch, feature_size=f,
@@ -88,6 +102,11 @@ class FleetMaps:
         self.buffers = {
             name: VoxelMap.create(fg).data
             for name, fg in self._fleet_geoms.items()}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(mesh_axis, None))
+            self.buffers = {name: jax.device_put(buf, sh)
+                            for name, buf in self.buffers.items()}
 
         zeros = jnp.zeros((batch,), jnp.float32)
         self.bins_x = jax.vmap(

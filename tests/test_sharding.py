@@ -139,3 +139,145 @@ def test_batched_mapper_matches_single_episodes():
             np.asarray(mapper.voxel_map(i).grid()),
             np.asarray(singles[i].grid()), atol=1e-5)
         assert np.asarray(singles[i].grid()).any()
+
+
+def test_sharded_map_layers_replay_parity():
+    """MapSet layers with mesh= row-sharding reproduce the unsharded
+    layers on an identical observation stream (the e2e map path of
+    --shard-map, minus the simulator)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from mass_tpu.config import CameraConfig
+    from mass_tpu.maps import MapSet, OccupancyMap, SemanticMap
+
+    mesh = make_mesh((4,), ("map",))
+    cam = CameraConfig(height=12, width=12)
+    geo_kw = dict(map_height=24, map_width=20, map_depth=8,
+                  grid_resolution=0.25)
+
+    def build(mesh):
+        kw = dict(geo_kw)
+        if mesh is not None:
+            kw["mesh"] = mesh
+        return MapSet(semantic0=SemanticMap(cam, 7, **kw),
+                      occupancy=OccupancyMap(cam, **kw))
+
+    plain, sharded = build(None), build(mesh)
+    rng = np.random.RandomState(7)
+    for maps in (plain, sharded):
+        maps.reset_all((0.3, -0.1, 0.0))
+    for _ in range(3):
+        obs = dict(
+            position=rng.uniform(-0.5, 0.5, 3).astype(np.float32),
+            yaw=np.float32(rng.uniform(-np.pi, np.pi)),
+            elevation=np.float32(rng.uniform(-0.5, 0.1)),
+            depth=rng.uniform(0.2, 2.5, (12, 12, 1)).astype(np.float32),
+            semantic=rng.randint(0, 7, (12, 12, 1)))
+        plain.update_group(["semantic0", "occupancy"], obs)
+        sharded.update_group(["semantic0", "occupancy"], obs)
+
+    for name in ("semantic0", "occupancy"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[name].voxel_map.grid()),
+            np.asarray(plain[name].voxel_map.grid()), atol=1e-5)
+        assert np.asarray(plain[name].voxel_map.grid()).any()
+    # planner + policy reads work on the sharded maps
+    from mass_tpu.nav import grid as NG
+    nav_sh = np.asarray(NG.navigable_area(
+        sharded["semantic0"].voxel_map, padding=1, z_start=0, z_stop=8))
+    nav_pl = np.asarray(NG.navigable_area(
+        plain["semantic0"].voxel_map, padding=1, z_start=0, z_stop=8))
+    np.testing.assert_array_equal(nav_sh, nav_pl)
+
+
+def test_fleet_sharded_slab_matches():
+    """FleetMaps with mesh= (row-sharded [B*V, F] slabs) reproduces the
+    unsharded fleet bit-for-bit through update/reset/view — the
+    composition claim of parallel/fleet.py made real."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from mass_tpu.config import CameraConfig
+    from mass_tpu.parallel.fleet import FleetMaps
+
+    mesh = make_mesh((4,), ("map",))
+    cam = CameraConfig(height=10, width=10)
+    geo = MapGeometry(map_height=16, map_width=12, map_depth=4,
+                      grid_resolution=0.25)
+    fams = {"semantic0": 6, "occupancy": 1}
+    B = 3
+
+    plain = FleetMaps(B, cam, geo, fams)
+    sharded = FleetMaps(B, cam, geo, fams, mesh=mesh)
+    rng = np.random.RandomState(5)
+    for fleet in (plain, sharded):
+        for e in range(B):
+            fleet.reset(e, (0.1 * e, -0.05 * e, 0.0))
+
+    for step in range(3):
+        pos = rng.uniform(-0.4, 0.4, (B, 3)).astype(np.float32)
+        yaw = rng.uniform(-np.pi, np.pi, B).astype(np.float32)
+        elev = rng.uniform(-0.5, 0.0, B).astype(np.float32)
+        depth = rng.uniform(0.2, 2.0, (B, 10, 10, 1)).astype(np.float32)
+        cls = rng.randint(0, 6, (B, 10, 10)).astype(np.int32)
+        for fleet in (plain, sharded):
+            fleet.update_batch(pos, yaw, elev, depth,
+                               {"semantic0": cls})
+    # mid-life reset keeps the placement (donated buffers)
+    for fleet in (plain, sharded):
+        fleet.reset(1, (0.3, 0.0, 0.0))
+
+    for name in fams:
+        for e in range(B):
+            np.testing.assert_allclose(
+                np.asarray(sharded.view(name, e).grid()),
+                np.asarray(plain.view(name, e).grid()), atol=1e-6)
+    assert np.asarray(plain.view("semantic0", 0).grid()).any()
+    # the sharded slabs really are distributed
+    buf = sharded.buffers["semantic0"]
+    assert len(buf.sharding.device_set) == 4
+
+
+@pytest.mark.slow
+def test_sharded_episode_matches_unsharded(tmp_path):
+    """Full GT episode with --shard-map 4: identical metrics and maps
+    vs the single-device agent (the e2e driver of VERDICT r3 item 3)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    import dataclasses as dc
+
+    from mass_tpu.agent.loop import RearrangementAgent
+    from mass_tpu.config import (AgentConfig, CameraConfig, MatchConfig,
+                                 NavConfig)
+    from mass_tpu.env.rearrange import GridWorldTaskSampler
+
+    cam = CameraConfig(height=24, width=24)
+    base = AgentConfig(
+        camera=cam, map_height=80, map_width=80, map_depth=24,
+        grid_resolution=0.125,
+        nav=NavConfig(step_size=2, obstacle_padding=2,
+                      map_slice_start=0, map_slice_stop=12,
+                      graph_update_interval=5, max_goal_steps=40),
+        match=MatchConfig(contour_padding=0, confidence_threshold=0.1,
+                          distance_threshold=0.2, max_instances=8),
+        ground_truth_segmentation=True, ground_truth_disagreement=True,
+        ground_truth_semantic_search=True,
+        exploration_budget_one=2, exploration_budget_two=2)
+
+    results = {}
+    grids = {}
+    for shards in (0, 4):
+        cfg = dc.replace(base, shard_map=shards)
+        sampler = GridWorldTaskSampler(
+            [2], camera=cam, max_steps=200, num_objects=2,
+            num_misplaced=1, num_opened=0)
+        agent = RearrangementAgent(cfg, sampler,
+                                   rng=np.random.RandomState(0))
+        results[shards] = agent.run_task(0)
+        grids[shards] = np.asarray(
+            agent.maps["semantic0"].voxel_map.grid())
+
+    for key in ("unshuffle/prop_fixed", "unshuffle/ep_length",
+                "unshuffle/num_initially_misplaced"):
+        assert results[0][key] == results[4][key], key
+    np.testing.assert_allclose(grids[4], grids[0], atol=2e-4)
+    assert grids[0].any()
