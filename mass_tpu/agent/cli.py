@@ -138,9 +138,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--videos", action="store_true")
     p.add_argument("--fleet-size", type=int, default=1,
                    help="run episodes in lockstep fleets of this size "
-                        "(gridworld backend, no videos/"
-                        "feature-matching): one device dispatch per "
-                        "stage serves the whole fleet "
+                        "(gridworld backend, no videos): one device "
+                        "dispatch per stage serves the whole fleet "
                         "(parallel/evaluator.py)")
     p.add_argument("--shard-map", type=int, default=0,
                    help="row-shard every voxel map over an N-device "
@@ -314,7 +313,7 @@ def make_video_factory(args):
     return factory
 
 
-def run_fleet(args, config, policy=None):
+def run_fleet(args, config, policy=None, backbone=None):
     """Lockstep fleet evaluation over the task range: batches of
     ``--fleet-size`` episodes share one device dispatch per stage."""
     assert args.backend == "gridworld", \
@@ -346,7 +345,8 @@ def run_fleet(args, config, policy=None):
             for s in batch]
         evaluator = FleetEvaluator(
             config, samplers, seeds=[args.seed + s for s in batch],
-            policy_params=policy, sensor=sensor)
+            policy_params=policy, sensor=sensor,
+            feature_backbone=backbone)
         for ei, (s, result) in enumerate(zip(batch, evaluator.run())):
             result["task_id"] = s
             if config.logdir:
@@ -398,7 +398,7 @@ def main(argv=None):
 
     def run():
         if args.fleet_size > 1:
-            return run_fleet(args, config, policy)
+            return run_fleet(args, config, policy, backbone)
         sampler = make_sampler(args, config)
         agent = RearrangementAgent(
             config, sampler, policy_params=policy,

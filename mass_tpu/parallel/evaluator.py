@@ -21,9 +21,11 @@ episodes in lockstep instead:
 Supported configuration mirrors the evaluation path of the sequential
 agent: two-phase AND one-phase episodes, GT / sampled /
 semantic-search-policy exploration goals, GT or predicted
-disagreement.  One-phase ticks issue a second batched launch for the
-goal-fed maps (the goal render's depth has its own binning).  (Videos
-and feature matching stay on the sequential driver.)
+disagreement, and ``--use-feature-matching`` (dense ResNet slabs fed
+by one batched backbone dispatch per tick; the reference's headline
+configuration, README.md:39).  One-phase ticks issue a second batched
+launch for the goal-fed maps (the goal render's depth has its own
+binning).  (Videos stay on the sequential driver.)
 """
 
 from __future__ import annotations
@@ -105,7 +107,7 @@ class _Episode:
         loc = self.task.agent_location()
         fleet.reset(index, (loc.x, loc.z, loc.y))
         maps = {name: _FleetLayerView(fleet, name, index)
-                for name in fleet.names}
+                for name in fleet.names + fleet.dense_names}
         self.controller = NavigationController(
             self.task, config.navigation_map_name, maps, config.nav,
             rng=rng)
@@ -191,10 +193,15 @@ class _Episode:
                       if cfg.ground_truth_disagreement
                       else range(taxonomy.NUM_CLASSES))
         with self.timer.stage("matching"):
+            dense = fleet.dense_names
             cls, goals0, goals1 = predict_scene_differences(
                 fleet.view("semantic0", self.index),
                 fleet.view("semantic1", self.index),
-                None, None, self.objects_moved, candidates, cfg.match)
+                fleet.view("feature0", self.index)
+                if "feature0" in dense else None,
+                fleet.view("feature1", self.index)
+                if "feature1" in dense else None,
+                self.objects_moved, candidates, cfg.match)
         if cls is None:
             return False
         self.objects_moved.add(cls)
@@ -311,9 +318,12 @@ class FleetEvaluator:
 
     def __init__(self, config: AgentConfig, samplers: List,
                  seeds: Optional[List[int]] = None,
-                 policy_params=None, sensor=None):
-        assert not config.use_feature_matching, \
-            "feature matching uses the sequential driver"
+                 policy_params=None, sensor=None,
+                 feature_backbone=None, feature_size: int = 256):
+        if config.use_feature_matching:
+            assert feature_backbone is not None, (
+                "fleet feature matching needs a backbone (pass "
+                "feature_backbone=; CLI: --backbone-checkpoint)")
         self.config = config
         self._batched_sensor = None
         if sensor is not None:
@@ -337,10 +347,17 @@ class FleetEvaluator:
         if config.shard_map > 1:
             from mass_tpu.parallel import make_mesh
             mesh = make_mesh((config.shard_map,), ("map",))
+        dense = None
+        if config.use_feature_matching:
+            # the ResNet map pair of --use-feature-matching (reference:
+            # resnet_projection_layer.py:62-141), as fleet slabs fed by
+            # one batched backbone dispatch per tick
+            dense = {"feature0": feature_size, "feature1": feature_size}
         with self.timer.stage("init_fleet"):
             self.fleet = FleetMaps(B, config.camera,
                                    _geometry_of(config), families,
-                                   mesh=mesh)
+                                   mesh=mesh, dense_sizes=dense,
+                                   backbone=feature_backbone)
 
         policy = None
         if policy_params is not None:
@@ -494,6 +511,11 @@ class FleetEvaluator:
                                          np.int32)}
         active = {name: np.zeros((B,), bool)
                   for name in self.fleet.names}
+        dense_names = self.fleet.dense_names
+        if dense_names:
+            rgbs = np.zeros((B, cam.height, cam.width, 3), np.float32)
+            dense_active = {name: np.zeros((B,), bool)
+                            for name in dense_names}
         one_phase = self.config.one_phase
         if one_phase:
             # goal-fed maps consume the GOAL world's render, whose
@@ -505,6 +527,11 @@ class FleetEvaluator:
                 (B, cam.height, cam.width), np.int32)}
             goal_active = {name: np.zeros((B,), bool)
                            for name in self.fleet.names}
+            if dense_names:
+                goal_rgbs = np.zeros((B, cam.height, cam.width, 3),
+                                     np.float32)
+                goal_dense_active = {name: np.zeros((B,), bool)
+                                     for name in dense_names}
         obs: Dict[int, Dict] = {}
         with self.timer.stage("observe"):
             for ep in live:
@@ -539,7 +566,21 @@ class FleetEvaluator:
             sem = np.asarray(o["semantic"])
             if sem.ndim == 3:
                 sem = sem[..., 0]
+            if dense_names:
+                rgbs[ep.index] = np.asarray(o["rgb"], np.float32)
             for name in ep.update_names():
+                if name in dense_names:
+                    # dense feature families ride their own batched
+                    # backbone dispatch (update_dense below)
+                    if one_phase and name in GOAL_FED_MAPS:
+                        goal_dense_active[name][ep.index] = True
+                        goal_rgbs[ep.index] = np.asarray(
+                            o["goal_rgb"], np.float32)
+                        goal_depths[ep.index] = np.asarray(
+                            o["goal_depth"], np.float32)
+                    else:
+                        dense_active[name][ep.index] = True
+                    continue
                 if one_phase and name in GOAL_FED_MAPS:
                     gsem = np.asarray(o["goal_semantic"])
                     if gsem.ndim == 3:
@@ -555,11 +596,21 @@ class FleetEvaluator:
         with self.timer.stage("mapping"):
             self.fleet.update_batch(positions, yaws, elevations,
                                     depths, classes, active=active)
+            if dense_names and any(m.any()
+                                   for m in dense_active.values()):
+                self.fleet.update_dense(positions, yaws, elevations,
+                                        depths, rgbs,
+                                        active=dense_active)
             if one_phase and any(m.any()
                                  for m in goal_active.values()):
                 self.fleet.update_batch(positions, yaws, elevations,
                                         goal_depths, goal_classes,
                                         active=goal_active)
+            if one_phase and dense_names and any(
+                    m.any() for m in goal_dense_active.values()):
+                self.fleet.update_dense(positions, yaws, elevations,
+                                        goal_depths, goal_rgbs,
+                                        active=goal_dense_active)
 
         # --- batched planning, per-episode decisions + env steps
         with self.timer.stage("planning"):

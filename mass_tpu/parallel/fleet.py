@@ -57,20 +57,39 @@ class FleetMaps:
         multi-chip partition (module docstring).  Forces vmajor slabs;
         the jitted step/reset keep the placement (donated buffers), so
         one ``device_put`` at construction shards the whole lifetime.
+      dense_sizes / backbone / stride: dense-feature families (the
+        ResNet maps of ``--use-feature-matching``; reference:
+        mass/nn/applications/resnet_projection_layer.py:62-141): each
+        episode's RGB frame runs through ``backbone`` at 1/stride
+        resolution and the embeddings splat into vmajor ``[B*V, F]``
+        slabs via their own binning pass (``update_dense``), batched
+        over the fleet in one dispatch.
     """
 
     def __init__(self, batch: int, camera: CameraConfig,
                  geometry: MapGeometry,
                  feature_sizes: Dict[str, int],
-                 mesh=None, mesh_axis: str = "map"):
+                 mesh=None, mesh_axis: str = "map",
+                 dense_sizes: Dict[str, int] = None,
+                 backbone=None, stride: int = 4):
         self.batch = batch
         self.camera = camera
         self.base_geometry = geometry
         self.names: List[str] = list(feature_sizes)
+        self.dense_names: List[str] = list(dense_sizes or {})
         self.mesh = mesh
         self.rays = G.camera_rays(camera.height, camera.width,
                                   camera.focal_length,
                                   camera.focal_length)
+        self._stride = stride
+        self._backbone = backbone
+        if self.dense_names:
+            assert backbone is not None, \
+                "dense feature families need a backbone"
+            dcam = camera.downsample(stride)
+            self.dense_rays = G.camera_rays(
+                dcam.height, dcam.width, dcam.focal_length,
+                dcam.focal_length)
 
         g = geometry
         self._episode_voxels = g.num_voxels
@@ -79,10 +98,14 @@ class FleetMaps:
         # base geometry's ignored feature_size) — either way the fleet
         # buffer is just a taller map (B*H rows of the same grid), so
         # VoxelMap storage/kernel routing applies unchanged
+        all_sizes = {**feature_sizes, **(dense_sizes or {})}
         self.layouts = {
             name: resolved_layout(dataclasses.replace(
                 g, feature_size=f))
             for name, f in feature_sizes.items()}
+        # dense-feature families are always vmajor (F lane-aligned)
+        for name in (dense_sizes or {}):
+            self.layouts[name] = "vmajor"
         if mesh is not None:
             # sharded slabs need the partitionable [B*V, F] axis
             n = mesh.shape[mesh_axis]
@@ -94,11 +117,11 @@ class FleetMaps:
             name: dataclasses.replace(
                 g, map_height=g.map_height * batch, feature_size=f,
                 layout=self.layouts[name])
-            for name, f in feature_sizes.items()}
+            for name, f in all_sizes.items()}
         self._episode_geoms = {
             name: dataclasses.replace(g, feature_size=f,
                                       layout=self.layouts[name])
-            for name, f in feature_sizes.items()}
+            for name, f in all_sizes.items()}
         self.buffers = {
             name: VoxelMap.create(fg).data
             for name, fg in self._fleet_geoms.items()}
@@ -120,6 +143,8 @@ class FleetMaps:
                                      g.grid_resolution))(zeros)
 
         self._step = self._build_step()
+        self._dense_step = (self._build_dense_step()
+                            if self.dense_names else None)
         self._reset_slab = self._build_reset()
         # per-episode reset generation (see maps/layers._BaseMap
         # .bins_epoch): host midpoint caches key on this
@@ -188,6 +213,61 @@ class FleetMaps:
 
         return step
 
+    def _build_dense_step(self):
+        """One dispatch: every live episode's RGB through the backbone,
+        embeddings splatted into the dense-family slabs (the fleet
+        analogue of maps/layers.FeatureMap.update_fn; reference:
+        resnet_projection_layer.py:159-213)."""
+        rays = self.dense_rays
+        g = self.base_geometry
+        B = self.batch
+        V = self._episode_voxels
+        names = list(self.dense_names)
+        backbone = self._backbone
+        k = self._stride
+        fleet_vms = {n: VoxelMap.create(self._fleet_geoms[n])
+                     for n in names}
+        from mass_tpu.ops.scatter import apply_dense_rows
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(buffers, bins_x, bins_y, bins_z, positions, yaws,
+                 elevations, depths, rgbs, active):
+            def per_episode(bx, by, bz, p, y, e, d, rgb):
+                feats = backbone(rgb)
+                sub = d[k // 2::k, k // 2::k]
+                oriented = G.orient_rays(rays, y, e)
+                pts = G.bin_rays(bx, by, bz, p, oriented, sub,
+                                 resolution=g.grid_resolution)
+                ids, w = corner_contributions(
+                    pts, (g.map_height, g.map_width, g.map_depth))
+                return ids, w, feats.reshape(-1, feats.shape[-1])
+
+            ids, weights, feats = jax.vmap(per_episode)(
+                bins_x, bins_y, bins_z, positions, yaws, elevations,
+                depths, rgbs)                       # [B, 8n], [B, n, F]
+            offsets = (jnp.arange(B, dtype=ids.dtype) * V)[:, None]
+            gids = jnp.where(ids < V, ids + offsets, B * V)
+            n = gids.shape[1] // 8
+            # corner-major record order (record r's pixel = r % (B*n))
+            gids = gids.reshape(B, 8, n).transpose(1, 0, 2)
+            gw = weights.reshape(B, 8, n).transpose(1, 0, 2).reshape(-1)
+            feats = feats.reshape(B * n, -1)
+
+            out = {}
+            for name in names:
+                vm = dataclasses.replace(fleet_vms[name],
+                                         data=buffers[name])
+                fam_ids = gids
+                if active is not None:
+                    mask = active[name][None, :, None]
+                    fam_ids = jnp.where(mask, gids, B * V)
+                out[name] = apply_dense_rows(
+                    vm.data, fam_ids.reshape(-1), gw, feats,
+                    vm.geometry.interpolation_weight)
+            return out
+
+        return step
+
     def _build_reset(self):
         g = self.base_geometry
         V = self._episode_voxels
@@ -247,14 +327,37 @@ class FleetMaps:
         if active is not None:
             active = {name: jnp.asarray(active[name], jnp.bool_)
                       for name in self.names}
-        self.buffers = self._step(
-            self.buffers, self.bins_x, self.bins_y, self.bins_z,
+        onehot = {n: self.buffers[n] for n in self.names}
+        out = self._step(
+            onehot, self.bins_x, self.bins_y, self.bins_z,
             jnp.asarray(positions, jnp.float32),
             jnp.asarray(yaws, jnp.float32),
             jnp.asarray(elevations, jnp.float32),
             jnp.asarray(depths, jnp.float32),
             {k: jnp.asarray(v, jnp.int32) for k, v in classes.items()},
             active)
+        self.buffers = {**self.buffers, **out}
+
+    def update_dense(self, positions, yaws, elevations, depths, rgbs,
+                     active: Dict[str, np.ndarray] = None) -> None:
+        """Fold one RGB frame per episode into every dense-feature
+        family (backbone at 1/stride resolution, strided depth
+        subsample) in one dispatch.  ``rgbs [B, h, w, 3]``; ``active``
+        name -> ``[B]`` bool like :meth:`update_batch`."""
+        assert self.dense_names, "no dense families configured"
+        if active is not None:
+            active = {name: jnp.asarray(active[name], jnp.bool_)
+                      for name in self.dense_names}
+        dense = {n: self.buffers[n] for n in self.dense_names}
+        out = self._dense_step(
+            dense, self.bins_x, self.bins_y, self.bins_z,
+            jnp.asarray(positions, jnp.float32),
+            jnp.asarray(yaws, jnp.float32),
+            jnp.asarray(elevations, jnp.float32),
+            jnp.asarray(depths, jnp.float32),
+            jnp.asarray(rgbs, jnp.float32),
+            active)
+        self.buffers = {**self.buffers, **out}
 
     def view(self, name: str, episode: int) -> VoxelMap:
         """One episode's map as a standard VoxelMap (planner/matcher
