@@ -303,7 +303,19 @@ class NavigationController:
         arrival = 0.75 * self.config.step_size * \
             self._occupancy_vm().geometry.grid_resolution
         pos = np.asarray(observations["position"][:2])
-        if np.linalg.norm(np.asarray(path[-1][:2]) - pos) <= arrival:
+        end = np.asarray(path[-1][:2])
+        # mesh slack: how far the best reachable node sits from the goal
+        # (> 0 exactly when the goal cell is off-mesh — e.g. a GT goal
+        # AT an object, whose padded cells hold no node)
+        goal_slack = float(np.linalg.norm(goal[:2] - end))
+        # also arrive when the agent is as close to the goal as the
+        # mesh can get: off-mesh goals otherwise never terminate — the
+        # snapped target flips between equidistant nodes around the
+        # obstacle as pruning/refresh perturb the mesh and the agent
+        # ORBITS the goal until max_goal_steps (measured: 121 steps to
+        # cover 1.65 m in a multi-room scene; docs/experiments.md)
+        if (np.linalg.norm(end - pos) <= arrival or
+                np.linalg.norm(goal[:2] - pos) <= goal_slack + arrival):
             observations["heading"] = 0.0
             return None
 
@@ -323,8 +335,12 @@ class NavigationController:
                 if np.linalg.norm(np.asarray(cand[:2]) - pos) \
                         <= lookahead:
                     waypoint = cand
-            if np.linalg.norm(np.asarray(path[-1][:2]) - pos) \
-                    <= lookahead:
+            if np.linalg.norm(end - pos) <= lookahead and \
+                    goal_slack <= arrival:
+                # steer at the goal point only when it is mesh-adjacent:
+                # walking INTO an off-mesh goal (an object) fails the
+                # move, prunes the node, and destabilizes the target
+                # snap — the orbit pathology above
                 waypoint = goal
             heading = self.get_heading(observations, waypoint)
         observations["heading"] = heading
