@@ -730,6 +730,94 @@ def _assemble(bb, bb_stats, fpn, rpn, box_head, box_pred, mask):
     }
 
 
+def export_detectron2_state_dict(variables,
+                                 config: MaskRCNNConfig =
+                                 MaskRCNNConfig()) -> Dict[str, Any]:
+    """Inverse of :func:`params_from_detectron2`: flax variables -> a
+    detectron2-convention state dict (numpy tensors, torch layouts).
+
+    Lets flax-trained detectors deploy back into the reference's
+    Detectron2 stack (``torch.save({"model": sd}, path)`` loads through
+    ``DetectionCheckpointer`` — reference: detectron_utils.py:30-31),
+    and is the parity oracle's input for non-random-weight torch-forward
+    verification (tests/test_maskrcnn.py)."""
+    p = variables["params"]
+    stats = variables["batch_stats"]["backbone"]
+    sd: Dict[str, Any] = {}
+
+    def put_conv(key, node, bias=None):
+        sd[f"{key}.weight"] = np.asarray(node["kernel"]).transpose(
+            3, 2, 0, 1)
+        if bias is not None:
+            sd[f"{key}.bias"] = np.asarray(node["bias"])
+
+    def put_bn(key, bn, st):
+        sd[f"{key}.weight"] = np.asarray(bn["scale"])
+        sd[f"{key}.bias"] = np.asarray(bn["bias"])
+        sd[f"{key}.running_mean"] = np.asarray(st["mean"])
+        sd[f"{key}.running_var"] = np.asarray(st["var"])
+
+    def put_dense(key, node):
+        sd[f"{key}.weight"] = np.asarray(node["kernel"]).T
+        sd[f"{key}.bias"] = np.asarray(node["bias"])
+
+    bb = p["backbone"]
+    put_conv("backbone.bottom_up.stem.conv1", bb["conv1"])
+    put_bn("backbone.bottom_up.stem.conv1.norm", bb["bn1"],
+           stats["bn1"])
+    for stage in range(4):
+        for b in range(_STAGE_BLOCKS[stage]):
+            name = f"layer{stage + 1}_{b}"
+            prefix = f"backbone.bottom_up.res{stage + 2}.{b}"
+            for i in (1, 2, 3):
+                put_conv(f"{prefix}.conv{i}", bb[name][f"conv{i}"])
+                put_bn(f"{prefix}.conv{i}.norm", bb[name][f"bn{i}"],
+                       stats[name][f"bn{i}"])
+            if b == 0:
+                put_conv(f"{prefix}.shortcut", bb[name]["down_conv"])
+                put_bn(f"{prefix}.shortcut.norm", bb[name]["down_bn"],
+                       stats[name]["down_bn"])
+
+    for i in range(4):
+        put_conv(f"backbone.fpn_lateral{i + 2}",
+                 p["fpn"][f"lateral{i + 2}"], bias=True)
+        put_conv(f"backbone.fpn_output{i + 2}",
+                 p["fpn"][f"output{i + 2}"], bias=True)
+
+    put_conv("proposal_generator.rpn_head.conv",
+             p["rpn_head"]["conv"], bias=True)
+    put_conv("proposal_generator.rpn_head.objectness_logits",
+             p["rpn_head"]["objectness"], bias=True)
+    put_conv("proposal_generator.rpn_head.anchor_deltas",
+             p["rpn_head"]["deltas"], bias=True)
+
+    # fc6 consumes flattened ROI features: flax flattens [S, S, C],
+    # torch flattens [C, S, S] — permute back (inverse of _dense_roi)
+    fc6 = np.asarray(p["box_head"]["fc6"]["kernel"]).T    # [out, S*S*C]
+    out = fc6.shape[0]
+    fc6 = fc6.reshape(out, 7, 7, 256).transpose(0, 3, 1, 2).reshape(
+        out, -1)
+    sd["roi_heads.box_head.fc1.weight"] = fc6
+    sd["roi_heads.box_head.fc1.bias"] = np.asarray(
+        p["box_head"]["fc6"]["bias"])
+    put_dense("roi_heads.box_head.fc2", p["box_head"]["fc7"])
+    put_dense("roi_heads.box_predictor.cls_score",
+              p["box_predictor"]["cls_score"])
+    put_dense("roi_heads.box_predictor.bbox_pred",
+              p["box_predictor"]["bbox_pred"])
+
+    for i in range(4):
+        put_conv(f"roi_heads.mask_head.mask_fcn{i + 1}",
+                 p["mask_head"][f"mask_fcn{i + 1}"], bias=True)
+    sd["roi_heads.mask_head.deconv.weight"] = np.asarray(
+        p["mask_head"]["deconv_kernel"])                 # [in, out, 2, 2]
+    sd["roi_heads.mask_head.deconv.bias"] = np.asarray(
+        p["mask_head"]["deconv_bias"])
+    put_conv("roi_heads.mask_head.predictor",
+             p["mask_head"]["predictor"], bias=True)
+    return sd
+
+
 def load_torch_checkpoint(path: str,
                           config: MaskRCNNConfig = MaskRCNNConfig()):
     """Load ``model_final.pth`` (detectron2) or a torchvision Mask R-CNN
