@@ -97,7 +97,8 @@ def _match_class(vm0: VoxelMap, vm1: VoxelMap,
         distance, safe_col[:, None], axis=1)[:, 0]
     goals1 = jnp.take_along_axis(
         r1.position, safe_col[:, None], axis=0)
-    return matched, dist_m, r0.position, goals1
+    trunc = r0.truncated | r1.truncated
+    return matched, dist_m, r0.position, goals1, trunc
 
 
 def predict_scene_differences(
@@ -121,12 +122,13 @@ def predict_scene_differences(
     both = np.asarray(both)
     truncated = np.asarray(f0.truncated) | np.asarray(f1.truncated)
     if truncated.any():
-        # the reference's cv2-contours path has no instance cap; make
-        # the capped classes visible instead of silently dropping blobs
+        # presence detection is cap-safe (needs >= 1 blob); per-class
+        # matching below auto-escalates K, so this is informational
         names = [taxonomy.CLASS_NAMES[i]
                  for i in np.nonzero(truncated)[0]]
         print(f"[match] max_instances={config.max_instances} cap bound "
-              f"for: {', '.join(names)}")
+              f"in sweep for: {', '.join(names)} (per-class match "
+              f"escalates)")
 
     use_features = feature_map0 is not None and feature_map1 is not None
     for cls in candidate_classes:
@@ -137,9 +139,22 @@ def predict_scene_differences(
         if not both[cls]:
             continue
 
-        matched, dist, pos0, goals1 = _match_class(
-            semantic_map0, semantic_map1, feature_map0, feature_map1,
-            cls, pickable, use_features, **kw)
+        # adaptive instance cap: the reference's cv2-contours path is
+        # unbounded (semantic_projection_layer.py:323-328); when the
+        # fixed-K labelling reports the cap bound, re-run this class
+        # with doubled K until every blob is represented (each K is one
+        # extra cached executable — the escalation set is tiny)
+        mkw = dict(kw)
+        while True:
+            matched, dist, pos0, goals1, trunc = _match_class(
+                semantic_map0, semantic_map1, feature_map0,
+                feature_map1, cls, pickable, use_features, **mkw)
+            if not bool(trunc) or mkw["max_instances"] >= 256:
+                break
+            mkw["max_instances"] *= 2
+            print(f"[match] {taxonomy.CLASS_NAMES[cls]}: cap bound, "
+                  f"retrying with max_instances="
+                  f"{mkw['max_instances']}")
         matched = np.asarray(matched)
         dist = np.asarray(dist)
         pos0 = np.asarray(pos0)

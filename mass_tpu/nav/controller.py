@@ -308,6 +308,15 @@ class NavigationController:
         # (> 0 exactly when the goal cell is off-mesh — e.g. a GT goal
         # AT an object, whose padded cells hold no node)
         goal_slack = float(np.linalg.norm(goal[:2] - end))
+        res = self._occupancy_vm().geometry.grid_resolution
+        # goal adjacent to an obstacle (object-sized slack), not merely
+        # in mesh the BFS has not reached yet: a far snap must keep the
+        # pursuit alive — mapping en route improves the mesh, and
+        # giving up instantly wastes the goal (measured: budget-5
+        # multi-room sweeps lost coverage when slack-arrival fired on
+        # unexplored-region goals)
+        slack_cap = (self.config.obstacle_padding +
+                     2 * self.config.step_size) * res
         # also arrive when the agent is as close to the goal as the
         # mesh can get: off-mesh goals otherwise never terminate — the
         # snapped target flips between equidistant nodes around the
@@ -315,7 +324,8 @@ class NavigationController:
         # ORBITS the goal until max_goal_steps (measured: 121 steps to
         # cover 1.65 m in a multi-room scene; docs/experiments.md)
         if (np.linalg.norm(end - pos) <= arrival or
-                np.linalg.norm(goal[:2] - pos) <= goal_slack + arrival):
+                (goal_slack <= slack_cap and
+                 np.linalg.norm(goal[:2] - pos) <= goal_slack + arrival)):
             observations["heading"] = 0.0
             return None
 

@@ -163,3 +163,46 @@ def test_feature_matching_pairs_by_features():
     # a->b and b->a)
     for p0, p1 in zip(g0, g1):
         assert np.linalg.norm(np.asarray(p0) - np.asarray(p1)) > 0.5
+
+
+def test_instance_cap_escalates_beyond_16():
+    """A class with more blobs than max_instances: find() flags the
+    truncation, and predict_scene_differences auto-escalates K so the
+    moved instance is still paired (the reference's cv2-contours path
+    is unbounded — semantic_projection_layer.py:323-328)."""
+    cls = taxonomy.class_id("Mug")
+    # 20 separated 2x2 blobs on a 32x40 footprint (grid spacing 6/8)
+    blobs = []
+    positions = [(y, x) for y in range(2, 30, 6) for x in
+                 range(2, 38, 8)][:20]
+    # distinct per-blob mass so size-based pairing is identifiable
+    for i, (y, x) in enumerate(positions):
+        blobs.append((cls, y, y + 2, x, x + 2, 0, 4, 0.5 + 0.02 * i))
+    vm0 = _map_with_blobs(blobs)
+
+    # cap smaller than the blob count -> truncated flag
+    r = find_class_instances(vm0, jnp.int32(cls), max_instances=8,
+                             contour_padding=0)
+    assert bool(r.truncated)
+    assert int(r.present.sum()) == 8
+    # escalated K finds every blob
+    r = find_class_instances(vm0, jnp.int32(cls), max_instances=32,
+                             contour_padding=0)
+    assert not bool(r.truncated)
+    assert int(r.present.sum()) == 20
+
+    # unshuffle map: one blob moved to a fresh spot
+    moved = list(blobs)
+    moved[5] = (cls, 25, 27, 33, 35, 0, 4, 0.5 + 0.02 * 5)
+    vm1 = _map_with_blobs(moved)
+    cfg = MatchConfig(distance_threshold=0.05, max_instances=8,
+                      contour_padding=0)
+    got, goals0, goals1 = predict_scene_differences(
+        vm0, vm1, None, None, set(), [cls], cfg)
+    assert got == cls
+    # exactly the one moved instance pairs above threshold, at the
+    # right positions (start of blob 5 -> its new spot)
+    assert len(goals0) == 1 and len(goals1) == 1
+    d = np.linalg.norm(np.asarray(goals0[0])[:2] -
+                       np.asarray(goals1[0])[:2])
+    assert d > 0.5
