@@ -32,11 +32,22 @@ def thor_available() -> bool:
 
 
 class ThorTask:
-    """Task-protocol adapter over one walkthrough/unshuffle THOR task."""
+    """Task-protocol adapter over one walkthrough/unshuffle THOR task.
 
-    def __init__(self, task, segmentation=None):
+    ``one_phase`` tasks additionally surface the GOAL world's render
+    from the same pose as ``goal_rgb`` / ``goal_depth`` /
+    ``goal_semantic`` — THOR's one-phase task steps the walkthrough env
+    in lockstep, which is what the reference's dual Unshuffled*/
+    SemanticRearrange sensors read (reference:
+    mass/thor/segmentation_config.py:484-598, uuids "semantic" /
+    "unshuffled_semantic"); here the goal frames come straight off
+    ``walkthrough_env.last_event`` so the grid-world one-phase
+    observation contract (env/rearrange.Phase) is matched exactly."""
+
+    def __init__(self, task, segmentation=None, one_phase: bool = False):
         self._task = task
         self._segmentation = segmentation or GroundTruthSegmentation()
+        self._one_phase = one_phase
         self.env = task.env  # exposes .poses / .are_poses_equal
 
     def get_observations(self) -> Dict[str, Any]:
@@ -50,6 +61,18 @@ class ThorTask:
             out["semantic_colors"] = np.asarray(
                 event.semantic_segmentation_frame)
             out["semantic"] = self._segmentation(out)
+        if self._one_phase:
+            wenv = getattr(self._task, "walkthrough_env", None)
+            if wenv is not None:
+                ev = wenv.last_event
+                out["goal_rgb"] = (np.asarray(ev.frame, np.float32)
+                                   / 255.0)
+                out["goal_depth"] = np.asarray(
+                    ev.depth_frame, np.float32)[..., None]
+                goal = dict(rgb=out["goal_rgb"],
+                            semantic_colors=np.asarray(
+                                ev.semantic_segmentation_frame))
+                out["goal_semantic"] = self._segmentation(goal)
         return out
 
     def _active_env(self):
@@ -105,12 +128,14 @@ class ThorTaskSampler:
             stage=stage, ground_truth=ground_truth,
             detection_threshold=detection_threshold, **sampler_kwargs)
         self._segmentation = segmentation
+        self._one_phase = bool(sampler_kwargs.get("one_phase", False))
 
     def __len__(self):
         return self._sampler.length
 
     def next_task(self) -> ThorTask:
-        return ThorTask(self._sampler.next_task(), self._segmentation)
+        return ThorTask(self._sampler.next_task(), self._segmentation,
+                        one_phase=self._one_phase)
 
     def skip_task(self) -> None:
         next(self._sampler.task_spec_iterator)

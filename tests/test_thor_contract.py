@@ -203,3 +203,99 @@ def test_skip_and_reset(fake_thor):
     assert next(sampler._sampler.task_spec_iterator) == 1
     sampler.reset()
     assert sampler._sampler.reset_calls == 1
+
+
+def test_one_phase_goal_observations(fake_thor):
+    """One-phase tasks surface the goal world's render from the same
+    pose as goal_rgb / goal_depth / goal_semantic (the reference's dual
+    semantic sensors, segmentation_config.py:545-561), matching the
+    grid-world one-phase observation contract."""
+    from mass_tpu.env.thor import ThorTaskSampler
+
+    colors = taxonomy.class_colors_array(normalized=False).astype(
+        np.uint8)
+    goal_sem = np.zeros((4, 4, 3), np.uint8)
+    goal_sem[3, 3] = colors[21]
+    goal_event = types.SimpleNamespace(
+        frame=np.full((4, 4, 3), 128, np.uint8),
+        depth_frame=np.full((4, 4), 2.5, np.float32),
+        semantic_segmentation_frame=goal_sem)
+
+    sampler = ThorTaskSampler(one_phase=True)
+    task = sampler.next_task()
+    task._task.walkthrough_env = types.SimpleNamespace(
+        last_event=goal_event)
+
+    obs = task.get_observations()
+    assert obs["goal_rgb"].dtype == np.float32
+    np.testing.assert_allclose(obs["goal_rgb"], 128 / 255.0)
+    assert obs["goal_depth"].shape == (4, 4, 1)
+    np.testing.assert_allclose(obs["goal_depth"][..., 0], 2.5)
+    gsem = obs["goal_semantic"][..., 0]
+    assert gsem[3, 3] == 21 and gsem[0, 0] == 0
+    # two-phase tasks never pay the goal render
+    two = ThorTaskSampler().next_task()
+    assert "goal_rgb" not in two.get_observations()
+
+
+def test_pose_conventions_crouch_and_horizon(fake_thor):
+    """Controller pose extraction over the gateway: yaw = pi/2 - rot,
+    elevation = -horizon, crouching agents subtract the 0.675 m camera
+    offset (reference: mass/navigation_policy.py:78-132) — including
+    the horizon extremes (+60 look-down, -30 look-up)."""
+    from mass_tpu.env.thor import ThorTaskSampler
+    from mass_tpu.nav.controller import NavigationController, \
+        CROUCH_HEIGHT_OFFSET
+
+    task = ThorTaskSampler().next_task()
+    ctrl = object.__new__(NavigationController)   # pose methods only
+    ctrl.task = task
+
+    for rot, horizon, standing in ((0.0, 60.0, True),
+                                   (90.0, -30.0, False),
+                                   (270.0, 0.0, False)):
+        task._task.env.get_agent_location = lambda: dict(
+            x=1.5, y=0.9, z=-2.0, rotation=rot, horizon=horizon,
+            standing=standing)
+        pos = ctrl.process_position()
+        yaw = ctrl.process_yaw()
+        elev = ctrl.process_elevation()
+        np.testing.assert_allclose(
+            yaw, np.pi / 2 - np.radians(rot), atol=1e-6)
+        np.testing.assert_allclose(elev, -np.radians(horizon),
+                                   atol=1e-6)
+        expect_y = 0.9 - (0.0 if standing else CROUCH_HEIGHT_OFFSET)
+        np.testing.assert_allclose(pos, [1.5, -2.0, expect_y],
+                                   atol=1e-6)
+
+
+def test_crash_restart_resumes_mid_episode(fake_thor):
+    """A simulator crash mid-run restarts the experiment and SKIPS
+    already-completed tasks, the reference's resume discipline
+    (reference: mass/utils/experimentation.py:61-74 +
+    agent.py:149-151, 661-662)."""
+    from mass_tpu.agent.reliability import (SimulatorCrashError,
+                                            run_with_restart)
+    from mass_tpu.env.thor import ThorTaskSampler
+
+    completed = []
+    attempts = {"n": 0}
+
+    def experiment():
+        attempts["n"] += 1
+        sampler = ThorTaskSampler()
+        for task_id in range(4):
+            if task_id in completed:
+                sampler.skip_task()
+                continue
+            task = sampler.next_task()
+            task.get_observations()
+            if attempts["n"] == 1 and task_id == 2:
+                raise SimulatorCrashError("unity hung mid-episode")
+            task.step(1)
+            completed.append(task_id)
+        return completed
+
+    out = run_with_restart(experiment)
+    assert attempts["n"] == 2
+    assert out == [0, 1, 2, 3]          # no task lost, none duplicated
