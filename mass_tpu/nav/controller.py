@@ -48,9 +48,20 @@ class NavigationController:
         self.rng = rng or np.random.RandomState(0)
         self.timer = timer or StageTimer()
         self.nav_grid: Optional[NG.NavGrid] = None
+        # collision-evidence overlay [H, W]: cells the simulator proved
+        # blocked (failed moves).  Obstacles that only exist in the
+        # LIVE world are invisible to the frozen phase-one nav map —
+        # node pruning encoded that evidence in the reference
+        # (mass/navigation_policy.py:607-648) but permanently seals
+        # doorways at multi-room scale; cell evidence erodes like any
+        # mapped obstacle and keeps the rest of the mesh intact
+        self.blocked_cells: Optional[np.ndarray] = None
         # host map->world for per-step path backtracking: the jnp
         # version recompiles per path length (core/voxelmap.py)
         self._map_to_world = HostMapToWorld()
+        # rotation-oscillation breaker state (see decide_from_plan)
+        self._last_rot = 0
+        self._last_rot_pos = None
         self.reset_navigation_grid()
 
     # ------------------------------------------------------------ pose
@@ -111,7 +122,12 @@ class NavigationController:
         return NG.navigable_area(
             self._occupancy_vm(), padding=cfg.obstacle_padding,
             z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
-            obstacle_threshold=cfg.obstacle_threshold)
+            obstacle_threshold=cfg.obstacle_threshold,
+            blocked=self._blocked_operand())
+
+    def _blocked_operand(self):
+        return (None if self.blocked_cells is None
+                else jnp.asarray(self.blocked_cells))
 
     def _origin_offsets(self):
         vm = self._occupancy_vm()
@@ -128,6 +144,7 @@ class NavigationController:
         return int(cell[0]) % s, int(cell[1]) % s
 
     def reset_navigation_grid(self) -> None:
+        self.blocked_cells = None      # fresh scene, fresh evidence
         off_x, off_y = self._origin_offsets()
         self.nav_grid = NG.build_nav_grid(
             self._navigable(), off_x, off_y, step=self.config.step_size)
@@ -135,7 +152,8 @@ class NavigationController:
     def update_navigation_grid(self) -> None:
         self.nav_grid = NG.refresh_nav_grid(
             self.nav_grid, self._navigable(),
-            step=self.config.step_size)
+            step=self.config.step_size,
+            monotone=self.config.reference_compat)
 
     # -------------------------------------------------------- planning
 
@@ -193,7 +211,8 @@ class NavigationController:
             jnp.asarray(target_world, jnp.float32),
             step=cfg.step_size, padding=cfg.obstacle_padding,
             z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
-            threshold=cfg.obstacle_threshold, refresh=False)
+            threshold=cfg.obstacle_threshold, refresh=False,
+            monotone=cfg.reference_compat)
         return self._path_from_field(np.asarray(dist), np.asarray(tgt),
                                      np.asarray(agent_cell))
 
@@ -253,7 +272,10 @@ class NavigationController:
                 step=cfg.step_size, padding=cfg.obstacle_padding,
                 z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
                 threshold=cfg.obstacle_threshold,
-                refresh=bool(update_navigation_grid))
+                refresh=bool(update_navigation_grid),
+                monotone=cfg.reference_compat,
+                blocked=(self._blocked_operand()
+                         if update_navigation_grid else None))
         return self.decide_from_plan(observations, goal, plan_out)
 
     def decide_from_plan(self, observations: Dict, goal,
@@ -276,7 +298,8 @@ class NavigationController:
                 (dist, tgt, agent_cell, grid.edge_right,
                  grid.edge_down, grid.off_x, grid.off_y))
             host_grid = NG.NavGrid(alive=grid.alive, edge_right=er,
-                                   edge_down=ed, off_x=ox, off_y=oy)
+                                   edge_down=ed, off_x=ox, off_y=oy,
+                                   pruned=grid.pruned)
             path = self._path_from_field(dist_h, tgt_h, agent_h,
                                          grid=host_grid)
         observations["path"] = path
@@ -314,9 +337,14 @@ class NavigationController:
         # pursuit alive — mapping en route improves the mesh, and
         # giving up instantly wastes the goal (measured: budget-5
         # multi-room sweeps lost coverage when slack-arrival fired on
-        # unexplored-region goals)
+        # unexplored-region goals).  The cap covers erosion (padding +
+        # node granularity) PLUS the object's own half-extent — goals
+        # sit at object centres, and collision evidence around the
+        # object grows the slack past bare erosion (0.45 m clears the
+        # grid world's largest openable at 0.9 m; everything stays
+        # under the 1.5 m interaction range)
         slack_cap = (self.config.obstacle_padding +
-                     2 * self.config.step_size) * res
+                     2 * self.config.step_size) * res + 0.45
         # also arrive when the agent is as close to the goal as the
         # mesh can get: off-mesh goals otherwise never terminate — the
         # snapped target flips between equidistant nodes around the
@@ -357,19 +385,103 @@ class NavigationController:
 
         names = self.task.action_names()
         if path.shape[0] > 1 and abs(heading) <= np.pi / 4:
-            return names.index("move_ahead")
-        if heading > np.pi / 4:
-            return names.index("rotate_left")
-        if heading < -np.pi / 4:
-            return names.index("rotate_right")
+            if not self._evidence_toward(observations, 0.0):
+                return names.index("move_ahead")
+            # the simulator already refused a move through the facing
+            # cells (blocked_cells); the pi/4 heading rule would
+            # re-emit move_ahead forever (diagonal reroute paths land
+            # heading exactly on the boundary).  Escape via the first
+            # evidence-free direction: turn toward the waypoint side,
+            # else BACK OFF the obstacle (the eroded mesh recovers once
+            # the agent leaves the padded zone), else turn away
+            first = np.pi / 2 if heading >= 0 else -np.pi / 2
+            if not self._evidence_toward(observations, first):
+                return names.index("rotate_left" if heading >= 0
+                                   else "rotate_right")
+            if "move_back" in names and not self._evidence_toward(
+                    observations, np.pi):
+                return names.index("move_back")
+            return names.index("rotate_right" if heading >= 0
+                               else "rotate_left")
+        if abs(heading) > np.pi / 4:
+            # hysteresis band: waypoints ~45 deg off either facing make
+            # the strict pi/4 rule flip-flop between rotations (each
+            # 90 deg turn overshoots by ~0.002 rad); just inside the
+            # band, moving on the current evidence-free facing still
+            # advances the plan
+            if (abs(heading) <= np.pi / 4 + 0.05 and
+                    path.shape[0] > 1 and
+                    not self._evidence_toward(observations, 0.0)):
+                return names.index("move_ahead")
+            rot = 1 if heading > 0 else -1
+            pos_t = tuple(np.round(pos, 3))
+            if (rot == -self._last_rot and
+                    pos_t == self._last_rot_pos and
+                    not self._evidence_toward(observations, 0.0)):
+                # left/right flip-flop at one spot: the waypoint sits
+                # ~45 deg between two facings and each 90 deg rotation
+                # overshoots.  Either facing advances the plan — step
+                # forward instead of spinning until max_goal_steps
+                self._last_rot = 0
+                return names.index("move_ahead")
+            self._last_rot = rot
+            self._last_rot_pos = pos_t
+            return names.index("rotate_left" if rot > 0
+                               else "rotate_right")
         return None
 
+    def _evidence_toward(self, observations: Dict,
+                         yaw_offset: float) -> bool:
+        """True when collision evidence blocks the cells a move in
+        direction ``yaw + yaw_offset`` would sweep (see
+        failed_action)."""
+        if self.blocked_cells is None:
+            return False
+        g = self._occupancy_vm().geometry
+        pos = np.asarray(observations["position"][:2], np.float64)
+        yaw = float(observations["yaw"]) + yaw_offset
+        fwd = np.asarray([np.cos(yaw), np.sin(yaw)])
+        res = g.grid_resolution
+        for r in np.arange(res, 0.3 + res, res):
+            cell = self._cell_of_world(pos + r * fwd)
+            x = int(np.clip(cell[0], 0, g.map_width - 1))
+            y = int(np.clip(cell[1], 0, g.map_height - 1))
+            if self.blocked_cells[y, x]:
+                return True
+        return False
+
     def failed_action(self, observations: Dict, action: int) -> None:
-        """Remove the blocking node and replan (reference:
-        mass/navigation_policy.py:607-648): a failed rotation removes
-        the current node, a failed move removes the next one."""
+        """Record why the simulator refused the action and replan.
+
+        Failed MOVES deposit collision evidence: the swept cells just
+        ahead of the agent join ``blocked_cells``, which the next mesh
+        refresh erodes exactly like mapped obstacles (obstacles only
+        present in the live world never reach the frozen phase-one nav
+        map).  Failed rotations — and every failure under
+        --reference-compat — prune the blocking NODE like the reference
+        (mass/navigation_policy.py:607-648)."""
         names = self.task.action_names()
-        idx = 0 if "rotate" in names[action] else 1
+        is_move = "rotate" not in names[action]
+        if is_move and not self.config.reference_compat:
+            g = self._occupancy_vm().geometry
+            pos = np.asarray(observations["position"][:2], np.float64)
+            yaw = float(observations["yaw"])
+            fwd = np.asarray([np.cos(yaw), np.sin(yaw)])
+            if self.blocked_cells is None:
+                self.blocked_cells = np.zeros(
+                    (g.map_height, g.map_width), bool)
+            res = g.grid_resolution
+            # sample the face of the obstruction: from just past the
+            # agent's cell out to one move length (~0.3 m)
+            for r in np.arange(res, 0.3 + res, res):
+                cell = self._cell_of_world(pos + r * fwd)
+                x = int(np.clip(cell[0], 0, g.map_width - 1))
+                y = int(np.clip(cell[1], 0, g.map_height - 1))
+                self.blocked_cells[y, x] = True
+            # refresh immediately so the very next plan routes around
+            self.update_navigation_grid()
+            return
+        idx = 0 if not is_move else 1
         path = observations.get("path")
         if path is None or path.shape[0] == 0:
             return
@@ -387,12 +499,18 @@ class NavigationController:
             if on_node:
                 # leaf may be numpy (fleet batched-plan readback keeps
                 # grids host-side) or jnp (sequential path) — mutate a
-                # host copy and preserve the incoming leaf type
+                # host copy and preserve the incoming leaf type.  The
+                # prune is recorded STICKY (NavGrid.pruned) so the
+                # fresh-refresh semantics cannot resurrect a node the
+                # simulator refused to enter
+                is_np = isinstance(self.nav_grid.alive, np.ndarray)
                 buf = np.array(alive)
                 buf[i, j] = False
-                new = (buf if isinstance(self.nav_grid.alive, np.ndarray)
-                       else jnp.asarray(buf))
-                self.nav_grid = self.nav_grid._replace(alive=new)
+                pbuf = np.array(self.nav_grid.pruned)
+                pbuf[i, j] = True
+                self.nav_grid = self.nav_grid._replace(
+                    alive=buf if is_np else jnp.asarray(buf),
+                    pruned=pbuf if is_np else jnp.asarray(pbuf))
                 return
             idx += 1
 

@@ -10,10 +10,13 @@ right, edge down) living on device; reachability and shortest paths
 come from a min-plus BFS relaxation under ``lax.while_loop``; path
 extraction backtracks the distance field (host-side, tiny).
 
-Graph surgery is monotone in the reference (nodes/edges only ever
-removed between resets) so updates are mask ANDs, and failed-action
-pruning clears one node bit (reference: mass/navigation_policy.py:
-296-341, 607-648).
+Graph surgery: the reference's mesh is monotone (nodes/edges only
+ever removed between resets — mass/navigation_policy.py:296-341,
+607-648).  Here map-derived state recomputes from the CURRENT
+navigable mask on refresh (the EMA occupancy can clear; monotone
+meshes swiss-cheese over long multi-room episodes) while
+failed-action prunes stay sticky in ``NavGrid.pruned``;
+``monotone=True`` restores the reference rule for --reference-compat.
 """
 
 from __future__ import annotations
@@ -37,7 +40,8 @@ INF = np.int32(1 << 28)
                                               "z_stop"))
 def navigable_area(vm: VoxelMap, padding: int = 3, z_start: int = 0,
                    z_stop: int = 32,
-                   obstacle_threshold: float = 0.0) -> jax.Array:
+                   obstacle_threshold: float = 0.0,
+                   blocked: jax.Array = None) -> jax.Array:
     """[H, W] bool — cells with no occupied voxel in the z slice, eroded
     by ``padding`` cells around obstacles (reference:
     mass/navigation_policy.py:173-221).
@@ -48,10 +52,15 @@ def navigable_area(vm: VoxelMap, padding: int = 3, z_start: int = 0,
     copy at production geometry next to two live semantic slabs
     (the same eager-slab-read OOM class as max_over_depth —
     docs/performance.md)."""
-    blocked = vm.occupancy_mask(z_start, z_stop, obstacle_threshold)
+    occ = vm.occupancy_mask(z_start, z_stop, obstacle_threshold)
+    if blocked is not None:
+        # collision evidence (nav/controller.failed_action): obstacles
+        # the frozen nav map cannot see (phase-two movers, unmapped
+        # walls) erode exactly like mapped ones
+        occ = occ | blocked
     if padding > 0:
-        blocked = max_pool2d_same(blocked, padding)
-    return ~blocked
+        occ = max_pool2d_same(occ, padding)
+    return ~occ
 
 
 class NavGrid(NamedTuple):
@@ -67,6 +76,10 @@ class NavGrid(NamedTuple):
     edge_down: jax.Array   # [ny, nx] bool
     off_x: jax.Array       # scalar int32
     off_y: jax.Array       # scalar int32
+    # failed-action prunes: STICKY node removals (a node the simulator
+    # refused to enter stays dead), unlike map-derived removals which
+    # recompute per refresh — see refresh_nav_grid
+    pruned: jax.Array      # [ny, nx] bool
 
 
 def _node_cells(nav_h: int, nav_w: int, ny: int, nx: int, off_x, off_y,
@@ -137,15 +150,25 @@ def build_nav_grid(navigable: jax.Array, off_x, off_y,
     er, ed = _corridor_masks(navigable, ys, xs, in_bounds, step)
     return NavGrid(alive=in_bounds, edge_right=er, edge_down=ed,
                    off_x=jnp.asarray(off_x, jnp.int32),
-                   off_y=jnp.asarray(off_y, jnp.int32))
+                   off_y=jnp.asarray(off_y, jnp.int32),
+                   pruned=jnp.zeros_like(in_bounds))
 
 
-@functools.partial(jax.jit, static_argnames=("step",))
+@functools.partial(jax.jit, static_argnames=("step", "monotone"))
 def refresh_nav_grid(grid: NavGrid, navigable: jax.Array,
-                     step: int = 5) -> NavGrid:
-    """Monotone update: drop nodes whose cell became blocked and edges
-    whose corridor became blocked (reference update_navigation_graph,
-    mass/navigation_policy.py:296-341)."""
+                     step: int = 5, monotone: bool = False) -> NavGrid:
+    """Refresh the mesh from the CURRENT navigable mask.
+
+    Default: map-derived state (node cells, corridors) recomputes fresh
+    each refresh — the EMA occupancy can legitimately CLEAR (an object
+    was picked up, a phantom obstacle decayed), and long multi-room
+    episodes otherwise swiss-cheese the mesh until doors seal (measured
+    in the round-4 multi-room sweeps).  Only failed-action prunes stay
+    sticky (``grid.pruned``).
+
+    ``monotone=True`` keeps the reference's rule instead — nodes/edges
+    only ever removed (reference update_navigation_graph,
+    mass/navigation_policy.py:296-341; used by --reference-compat)."""
     h, w = navigable.shape
     ny, nx = grid.alive.shape
     ys, xs, in_bounds = _node_cells(h, w, ny, nx, grid.off_x,
@@ -153,10 +176,12 @@ def refresh_nav_grid(grid: NavGrid, navigable: jax.Array,
     node_ok = navigable[jnp.clip(ys[:, None], 0, h - 1),
                         jnp.clip(xs[None, :], 0, w - 1)] & in_bounds
     er, ed = _corridor_masks(navigable, ys, xs, in_bounds, step)
-    alive = grid.alive & node_ok
-    return grid._replace(alive=alive,
-                         edge_right=grid.edge_right & er,
-                         edge_down=grid.edge_down & ed)
+    if monotone:
+        return grid._replace(alive=grid.alive & node_ok,
+                             edge_right=grid.edge_right & er,
+                             edge_down=grid.edge_down & ed)
+    return grid._replace(alive=node_ok & ~grid.pruned,
+                         edge_right=er, edge_down=ed)
 
 
 @jax.jit
@@ -215,10 +240,10 @@ def distance_field(grid: NavGrid, src_j, src_i) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "step", "padding", "z_start", "z_stop", "refresh"))
+    "step", "padding", "z_start", "z_stop", "refresh", "monotone"))
 def plan(grid: NavGrid, occ_vm, agent_world, goal_world, *, step: int,
          padding: int, z_start: int, z_stop: int, threshold: float,
-         refresh: bool):
+         refresh: bool, monotone: bool = False, blocked=None):
     """One-dispatch planning step: (optionally) refresh the mesh from
     the occupancy map, seed a BFS around the agent (with a nearest-node
     fallback if its neighborhood was pruned), and snap the goal to the
@@ -230,8 +255,9 @@ def plan(grid: NavGrid, occ_vm, agent_world, goal_world, *, step: int,
     """
     if refresh:
         nav = navigable_area(occ_vm, padding, z_start, z_stop,
-                             threshold)
-        grid = refresh_nav_grid(grid, nav, step=step)
+                             threshold, blocked=blocked)
+        grid = refresh_nav_grid(grid, nav, step=step,
+                                monotone=monotone)
     agent_cell = occ_vm.world_to_map(agent_world[:2])
     goal_cell = occ_vm.world_to_map(goal_world[:2])
     seeds = seeds_near_cell(grid, agent_cell, step, radius_cells=2 * step)

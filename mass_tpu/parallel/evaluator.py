@@ -395,7 +395,8 @@ class FleetEvaluator:
         cfg = self.config.nav
         from mass_tpu.core.voxelmap import VoxelMap
 
-        def _one(grid, data, bx, by, bz, agent, goal, refresh):
+        def _one(grid, data, bx, by, bz, agent, goal, blocked,
+                 refresh):
             vm = VoxelMap(data=data, bins_x=bx, bins_y=by,
                           bins_z=bz, geometry=geometry)
             return NG.plan(
@@ -403,13 +404,14 @@ class FleetEvaluator:
                 padding=cfg.obstacle_padding,
                 z_start=cfg.map_slice_start,
                 z_stop=cfg.map_slice_stop,
-                threshold=cfg.obstacle_threshold, refresh=refresh)
+                threshold=cfg.obstacle_threshold, refresh=refresh,
+                monotone=cfg.reference_compat, blocked=blocked)
 
         cmajor = fleet.layouts[nav_name] == "cmajor"
 
         @jax.jit
         def plan_group_refresh(grids, buffer, bins_x, bins_y, bins_z,
-                               idx, agents, goals):
+                               idx, agents, goals, blocked):
             if cmajor:
                 slabs = buffer.reshape(buffer.shape[0], B, V)[
                     :, idx].transpose(1, 0, 2)        # [G, F, V]
@@ -419,7 +421,7 @@ class FleetEvaluator:
             return jax.vmap(
                 functools.partial(_one, refresh=True))(
                     grids, slabs, bins_x[idx], bins_y[idx],
-                    bins_z[idx], agents, goals)
+                    bins_z[idx], agents, goals, blocked)
 
         @jax.jit
         def plan_group_norefresh(grids, bins_x, bins_y, bins_z, idx,
@@ -430,7 +432,7 @@ class FleetEvaluator:
             # occupancy slabs per tick dominated fleet wall time
             dummy = jnp.zeros((len(idx), 1, 1), jnp.float32)
             return jax.vmap(
-                functools.partial(_one, refresh=False))(
+                functools.partial(_one, refresh=False, blocked=None))(
                     grids, dummy, bins_x[idx], bins_y[idx],
                     bins_z[idx], agents, goals)
 
@@ -456,9 +458,16 @@ class FleetEvaluator:
             goals = np.asarray([ep.mission.goal for ep in padded],
                                np.float32)
             if refresh:
+                g = geometry
+                zero = np.zeros((g.map_height, g.map_width), bool)
+                blocked = np.stack(
+                    [ep.controller.blocked_cells
+                     if ep.controller.blocked_cells is not None
+                     else zero for ep in padded])
                 return plan_group_refresh(
                     grids, fleet.buffers[nav_name], fleet.bins_x,
-                    fleet.bins_y, fleet.bins_z, idx, agents, goals)
+                    fleet.bins_y, fleet.bins_z, idx, agents, goals,
+                    blocked)
             return plan_group_norefresh(
                 grids, fleet.bins_x, fleet.bins_y, fleet.bins_z, idx,
                 agents, goals)
