@@ -41,10 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 # span of voxel ids per grid step; records move in CHUNK-sized DMAs
 # (1-D VMEM tiling requires 1024-aligned slices) and are applied in SUB-
 # sized sub-blocks (the [SUB, SPAN] one-hot must fit VMEM alongside the
-# map block)
+# map block).  SUB is overridable for on-chip A/Bs (MASS_SPLAT_SUB):
+# larger sub-blocks amortize the per-sub-block mask/accumulate overhead
+# at the cost of coarser skip granularity on sparse spans
+# (docs/performance.md "Remaining headroom").
+import os as _os
+
 SPAN = 2048
 CHUNK = 1024
-SUB = 256
+SUB = int(_os.environ.get("MASS_SPLAT_SUB", "256"))
+assert CHUNK % SUB == 0, f"MASS_SPLAT_SUB must divide {CHUNK}: {SUB}"
 
 
 def _dot_precision(precision: str):

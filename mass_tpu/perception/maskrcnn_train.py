@@ -283,6 +283,25 @@ def load_instance_split(dataset_dir: str, split: str, max_gt: int):
     return tuple(np.stack([c[i] for c in cols]) for i in range(5))
 
 
+def flip_batch(batch, flip: np.ndarray):
+    """Horizontal-flip augmentation on a host batch (detectron2 trains
+    with RandomFlip by default; the reference inherits it through
+    DefaultTrainer — train_maskrcnn.py:108).  ``flip`` is a [B] bool
+    mask; images/masks mirror along x and boxes swap/reflect x1,x2."""
+    images, boxes, classes, masks, valid = (np.array(x) for x in batch)
+    w = images.shape[2]
+    f = np.nonzero(flip)[0]
+    images[f] = images[f, :, ::-1]
+    masks[f] = masks[f, :, :, ::-1]
+    x1 = boxes[f, :, 0].copy()
+    boxes[f, :, 0] = w - boxes[f, :, 2]
+    boxes[f, :, 2] = w - x1
+    # empty gt slots are all-zero boxes; keep them degenerate-at-zero
+    empty = ~valid[f]
+    boxes[f] = np.where(empty[..., None], 0.0, boxes[f])
+    return images, boxes, classes, masks, valid
+
+
 def evaluate_fused(model, variables, images, targets_sem,
                    detection_threshold: float = 0.5,
                    class_offset: int = 1):
@@ -317,12 +336,18 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
           batch_size: int = 2, learning_rate: float = 0.005,
           seed: int = 0, image_size: int = 224, num_classes: int = 53,
           config: M.MaskRCNNConfig = None,
-          tcfg: TrainConfig = TrainConfig(), resume: bool = False):
+          tcfg: TrainConfig = TrainConfig(), resume: bool = False,
+          augment: bool = False, eval_every: int = 0):
     """Fine-tune/ train the detector on the generated dataset.
 
     ``num_classes`` defaults to the dataset convention (taxonomy minus
     OccupiedSpace, tools/detector_dataset.py category_id = class - 1);
-    the reference trains all 54 (train_maskrcnn.py:72-99)."""
+    the reference trains all 54 (train_maskrcnn.py:72-99).
+
+    ``augment`` enables random horizontal flips (detectron2's default
+    RandomFlip); ``eval_every`` > 0 scores fused-mask validation mIoU
+    every N epochs and keeps the BEST checkpoint at
+    ``{logdir}/maskrcnn`` rather than the last."""
     if config is None:
         config = M.MaskRCNNConfig(num_classes=num_classes,
                                   image_size=image_size)
@@ -356,9 +381,21 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
     opt_state = tx.init(variables["params"])
     run = make_train_step(model, tx, tcfg, mesh)
 
+    try:
+        from mass_tpu.perception.train_detector import load_split
+        val_images, val_sem = load_split(dataset_dir, "validation")
+    except FileNotFoundError:
+        val_images = val_sem = None
+
+    def save(vs):
+        os.makedirs(logdir, exist_ok=True)
+        from mass_tpu.utils.checkpoint import save_pytree
+        save_pytree(os.path.join(logdir, "maskrcnn"), vs)
+
     rng = np.random.RandomState(seed)
     key = jax.random.PRNGKey(seed)
     history = []
+    best_miou = -1.0
     for epoch in range(epochs):
         t0 = time.time()
         losses = []
@@ -366,6 +403,8 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
         for i in range(0, len(order) - batch_size + 1, batch_size):
             sel = order[i:i + batch_size]
             batch = tuple(d[sel] for d in data)
+            if augment:
+                batch = flip_batch(batch, rng.rand(batch_size) < 0.5)
             key, sub = jax.random.split(key)
             variables, opt_state, loss = run(variables, opt_state,
                                              batch, sub)
@@ -373,26 +412,36 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
         mean = {k: float(np.mean([l[k] for l in losses]))
                 for k in losses[0]}
         mean.update(epoch=epoch, sec=time.time() - t0)
+        if eval_every and val_images is not None and (
+                (epoch + 1) % eval_every == 0 or epoch == epochs - 1):
+            metrics = evaluate_fused(model, variables, val_images,
+                                     val_sem)
+            mean.update(val_miou=metrics["miou"],
+                        val_pixel_accuracy=metrics["pixel_accuracy"])
+            if logdir and metrics["miou"] > best_miou:
+                best_miou = metrics["miou"]
+                save(variables)
         history.append(mean)
         print(mean)
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+            with open(os.path.join(logdir, "history.json"), "w") as f:
+                json.dump(history, f, indent=2)
 
     # fused-mask pixel metrics on the validation split (the COCO
     # evaluator stand-in — the downstream pipeline only ever consumes
-    # the fused per-pixel class image)
-    try:
-        from mass_tpu.perception.train_detector import load_split
-        val_images, val_sem = load_split(dataset_dir, "validation")
+    # the fused per-pixel class image).  With eval_every the last epoch
+    # was already scored inside the loop and the best checkpoint is on
+    # disk; without it, score once and save the final state.
+    if val_images is not None and not eval_every:
         metrics = evaluate_fused(model, variables, val_images, val_sem)
         metrics["epoch"] = "validation"
         history.append(metrics)
         print(metrics)
-    except FileNotFoundError:
-        pass
 
     if logdir:
-        os.makedirs(logdir, exist_ok=True)
-        from mass_tpu.utils.checkpoint import save_pytree
-        save_pytree(os.path.join(logdir, "maskrcnn"), variables)
+        if not (eval_every and best_miou >= 0):
+            save(variables)
         with open(os.path.join(logdir, "history.json"), "w") as f:
             json.dump(history, f, indent=2)
     return variables, history
@@ -409,10 +458,17 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=53)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="random horizontal flips (detectron2 "
+                        "RandomFlip default)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="score validation mIoU every N epochs and keep "
+                        "the best checkpoint")
     args = p.parse_args(argv)
     train(args.dataset, args.logdir, args.epochs, args.batch_size,
           args.learning_rate, args.seed, args.image_size,
-          args.num_classes, resume=args.resume)
+          args.num_classes, resume=args.resume, augment=args.augment,
+          eval_every=args.eval_every)
 
 
 if __name__ == "__main__":

@@ -161,3 +161,34 @@ def test_gt_box_appended_makes_foreground():
     iou = box_iou(rois, gt)
     iou = jnp.where(valid[None], iou, 0.0)
     assert float(iou.max()) == 1.0
+
+
+def test_flip_batch_mirrors_boxes_masks_and_images():
+    """Horizontal-flip augmentation: flipped entries mirror images and
+    masks along x and reflect box x-coordinates; unflipped entries and
+    empty gt slots are untouched."""
+    rng = np.random.RandomState(3)
+    batch = _batch(rng, 2)
+    images, boxes, classes, masks, valid = (x.copy() for x in batch)
+    out = T.flip_batch(batch, np.asarray([True, False]))
+    o_img, o_boxes, o_cls, o_masks, o_valid = out
+
+    np.testing.assert_array_equal(o_img[0], images[0][:, ::-1])
+    np.testing.assert_array_equal(o_img[1], images[1])
+    np.testing.assert_array_equal(o_cls, classes)
+    np.testing.assert_array_equal(o_valid, valid)
+
+    w = images.shape[2]
+    for i in range(TCFG.max_gt):
+        if valid[0, i]:
+            x0, y0, x1, y1 = boxes[0, i]
+            np.testing.assert_allclose(o_boxes[0, i],
+                                       [w - x1, y0, w - x0, y1])
+            np.testing.assert_array_equal(o_masks[0, i],
+                                          masks[0, i][:, ::-1])
+            # the flipped mask still fills the flipped box
+            fx0, _, fx1, _ = map(int, o_boxes[0, i])
+            assert o_masks[0, i][:, fx0:fx1].sum() == masks[0, i].sum()
+        else:
+            np.testing.assert_array_equal(o_boxes[0, i], 0.0)
+    np.testing.assert_array_equal(o_boxes[1], boxes[1])
