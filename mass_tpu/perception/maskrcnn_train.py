@@ -304,12 +304,18 @@ def flip_batch(batch, flip: np.ndarray):
 
 def evaluate_fused(model, variables, images, targets_sem,
                    detection_threshold: float = 0.5,
-                   class_offset: int = 1):
+                   class_offset: int = 1, tta: bool = False):
     """Proxy metric in place of COCOEvaluator: run full inference, fuse
     masks into the per-pixel class image (the only consumer downstream,
     segmentation_config.py:311-337) and score pixel accuracy / mIoU
-    against GT semantics."""
-    from mass_tpu.perception.segmentation import detections_to_semantic
+    against GT semantics.
+
+    ``tta`` additionally runs the horizontally flipped frame and pools
+    both passes' confident masks before the argmax — the fused-semantic
+    analog of the reference's detectron2 TTA eval option
+    (train_maskrcnn.py:111-113)."""
+    from mass_tpu.perception.segmentation import (
+        detections_to_semantic, detections_to_semantic_tta)
     from mass_tpu import taxonomy
     run = M.make_detector(variables, model.config,
                           class_offset=class_offset)
@@ -317,8 +323,14 @@ def evaluate_fused(model, variables, images, targets_sem,
     cm = np.zeros((num_classes, num_classes), np.int64)
     for rgb, sem in zip(images, targets_sem):
         det = run(jnp.asarray(rgb))
-        pred = np.asarray(detections_to_semantic(
-            det, detection_threshold, num_classes))[..., 0]
+        if tta:
+            det_f = run(jnp.asarray(rgb[:, ::-1]))
+            det_f = det_f._replace(masks=det_f.masks[:, :, ::-1])
+            pred = np.asarray(detections_to_semantic_tta(
+                [det, det_f], detection_threshold, num_classes))[..., 0]
+        else:
+            pred = np.asarray(detections_to_semantic(
+                det, detection_threshold, num_classes))[..., 0]
         idx = sem.astype(np.int64) * num_classes + pred
         cm += np.bincount(idx.reshape(-1),
                           minlength=num_classes * num_classes).reshape(
@@ -464,7 +476,35 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=0,
                    help="score validation mIoU every N epochs and keep "
                         "the best checkpoint")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training: score the checkpoint at "
+                        "{logdir}/maskrcnn on the validation split")
+    p.add_argument("--tta", action="store_true",
+                   help="pool horizontal-flip masks at eval time "
+                        "(reference: train_maskrcnn.py:111-113)")
+    p.add_argument("--detection-threshold", type=float, default=0.5,
+                   help="mask confidence threshold for the fused "
+                        "eval")
     args = p.parse_args(argv)
+    if args.eval_only:
+        from mass_tpu.perception.train_detector import load_split
+        from mass_tpu.utils.checkpoint import load_pytree
+        config = M.MaskRCNNConfig(num_classes=args.num_classes,
+                                  image_size=args.image_size)
+        model = M.MaskRCNN(config)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.image_size, args.image_size, 3)))
+        variables = load_pytree(
+            os.path.join(args.logdir, "maskrcnn"), variables)
+        val_images, val_sem = load_split(args.dataset, "validation")
+        metrics = evaluate_fused(
+            model, variables, val_images, val_sem,
+            detection_threshold=args.detection_threshold, tta=args.tta)
+        metrics.update(tta=args.tta,
+                       detection_threshold=args.detection_threshold)
+        print(json.dumps(metrics))
+        return
     train(args.dataset, args.logdir, args.epochs, args.batch_size,
           args.learning_rate, args.seed, args.image_size,
           args.num_classes, resume=args.resume, augment=args.augment,

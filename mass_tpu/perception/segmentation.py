@@ -71,6 +71,28 @@ def detections_to_semantic(detections: Detections,
     return jnp.argmax(acc, axis=-1).astype(jnp.int32)[..., None]
 
 
+def detections_to_semantic_tta(detection_sets,
+                               detection_threshold: float,
+                               num_classes: int = taxonomy.NUM_CLASSES,
+                               ) -> jax.Array:
+    """Test-time-augmented mask fusion: pool the confident instances of
+    SEVERAL detection passes (e.g. original + un-flipped horizontal
+    flip) into one mask accumulator before the per-pixel argmax — the
+    fused-semantic analog of detectron2's TTA eval hook the reference
+    enables with --eval-tta (reference: train_maskrcnn.py:111-113).
+
+    Callers must pre-transform each pass's masks back into the original
+    frame (flip the flipped pass's masks along x)."""
+    acc = 0.0
+    for det in detection_sets:
+        keep = det.scores >= detection_threshold
+        weights = jnp.where(keep, 1.0, 0.0)
+        onehot = jax.nn.one_hot(det.classes, num_classes)
+        acc = acc + jnp.einsum(
+            "khw,kc->hwc", det.masks * weights[:, None, None], onehot)
+    return jnp.argmax(acc, axis=-1).astype(jnp.int32)[..., None]
+
+
 class SegmentationModel(Protocol):
     """A pluggable detector: RGB frame -> Detections."""
 

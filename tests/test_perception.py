@@ -132,3 +132,36 @@ def test_backbone_in_feature_map():
                    np.float32))
     fmap.update_from_observation(obs)
     assert np.asarray(fmap.voxel_map.data).any()
+
+
+def test_detections_to_semantic_tta_pools_passes():
+    """TTA fusion pools confident masks across passes: a detection that
+    only one pass finds still paints the pixels, and accumulated
+    evidence from both passes outvotes a single-pass class."""
+    from mass_tpu.perception.segmentation import (
+        detections_to_semantic_tta)
+    h = w = 8
+    m1 = np.zeros((2, h, w), np.float32)
+    m1[0, :4] = 1.0                   # class 2 rows 0-3
+    m1[1, 4:] = 0.6                   # class 7 rows 4-7, weak
+    det1 = Detections(masks=jnp.asarray(m1),
+                      classes=jnp.asarray([2, 7]),
+                      scores=jnp.asarray([0.95, 0.95]))
+    m2 = np.zeros((2, h, w), np.float32)
+    m2[0, 4:] = 0.6                   # class 7 again (second pass)
+    m2[1, 6:] = 1.0                   # class 9 only in pass 2
+    det2 = Detections(masks=jnp.asarray(m2),
+                      classes=jnp.asarray([7, 9]),
+                      scores=jnp.asarray([0.95, 0.95]))
+
+    out = np.asarray(detections_to_semantic_tta(
+        [det1, det2], 0.9))[..., 0]
+    assert (out[:4] == 2).all()       # pass-1-only detection kept
+    assert (out[4:6] == 7).all()      # pooled 0.6+0.6 evidence
+    # rows 6-7: class 7 pooled 1.2 vs class 9 single 1.0 -> 7 wins
+    assert (out[6:] == 7).all()
+
+    # single pass degenerates to the plain fusion
+    single = np.asarray(detections_to_semantic(det1, 0.9))
+    tta1 = np.asarray(detections_to_semantic_tta([det1], 0.9))
+    np.testing.assert_array_equal(single, tta1)
