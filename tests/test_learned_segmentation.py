@@ -128,15 +128,25 @@ def trained_unet():
     # the detector must have seen the eval scenes' classes — random
     # grid-world seeds draw from 54 classes, so cover the eval seeds'
     # scene distribution like the reference trains its detector on the
-    # same THOR scene pool it evaluates in (train_maskrcnn.py:54-70)
-    images, targets = _collect_frames(
-        [2, 4], per_scene=4, num_objects=2, num_misplaced=1,
-        num_opened=0)
-    extra = _collect_frames([100, 101], per_scene=4)
-    images = np.concatenate([images, extra[0]])
-    targets = np.concatenate([targets, extra[1]])
-    params, loss = _train_unet(images, targets)
-    return params, loss
+    # same THOR scene pool it evaluates in (train_maskrcnn.py:54-70).
+    # The ~10-minute training is disk-cached between suite runs
+    # (tests/fixture_cache.py); bump the version on recipe changes.
+    from tests.fixture_cache import cached_pytree
+
+    def build():
+        images, targets = _collect_frames(
+            [2, 4], per_scene=4, num_objects=2, num_misplaced=1,
+            num_opened=0)
+        extra = _collect_frames([100, 101], per_scene=4)
+        images = np.concatenate([images, extra[0]])
+        targets = np.concatenate([targets, extra[1]])
+        params, loss = _train_unet(images, targets)
+        return params, {"loss": float(loss)}
+
+    template = SegmenterUNet().init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3)))
+    params, meta = cached_pytree("unet-seg", "v1", template, build)
+    return params, meta["loss"]
 
 
 @pytest.mark.slow

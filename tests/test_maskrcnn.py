@@ -783,11 +783,6 @@ def test_trained_weights_torch_parity():
     model = M.MaskRCNN(cfg)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, IMG, IMG, 3)))
-    tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     optax.sgd(0.0025, momentum=0.9))
-    opt_state = tx.init(variables["params"])
-    mesh = make_mesh((1,), ("data",))
-    run = T.make_train_step(model, tx, tcfg, mesh)
 
     rng = np.random.RandomState(0)
 
@@ -808,12 +803,29 @@ def test_trained_weights_torch_parity():
             valid[i] = True
         return rgb, boxes, classes, masks, valid
 
-    key = jax.random.PRNGKey(1)
-    for _ in range(12):
-        cols = [scene() for _ in range(2)]
-        batch = tuple(np.stack([c[i] for c in cols]) for i in range(5))
-        key, sub = jax.random.split(key)
-        variables, opt_state, _ = run(variables, opt_state, batch, sub)
+    def build():
+        tx = optax.chain(optax.clip_by_global_norm(10.0),
+                         optax.sgd(0.0025, momentum=0.9))
+        opt_state = tx.init(variables["params"])
+        mesh = make_mesh((1,), ("data",))
+        run = T.make_train_step(model, tx, tcfg, mesh)
+        vs = variables
+        key = jax.random.PRNGKey(1)
+        for _ in range(12):
+            cols = [scene() for _ in range(2)]
+            batch = tuple(np.stack([c[i] for c in cols])
+                          for i in range(5))
+            key, sub = jax.random.split(key)
+            vs, opt_state, _ = run(vs, opt_state, batch, sub)
+        return vs, {}
+
+    # the ~8-minute train-step compile + loop is disk-cached between
+    # suite runs (tests/fixture_cache.py); the parity check below
+    # compares flax vs torch on the SAME fresh frame, so the cache-time
+    # rng state is irrelevant to the assertion
+    from tests.fixture_cache import cached_pytree
+    variables, _ = cached_pytree("mrcnn-trained-small", "v1",
+                                 variables, build)
 
     import torch
     sd = {k: torch.tensor(v)
