@@ -51,6 +51,11 @@ SPAN = 2048
 CHUNK = 1024
 SUB = int(_os.environ.get("MASS_SPLAT_SUB", "256"))
 assert CHUNK % SUB == 0, f"MASS_SPLAT_SUB must divide {CHUNK}: {SUB}"
+# MASS_SPLAT_DIAG=stub_onehot replaces the [SUB, SPAN] one-hot compare
+# with a broadcast (WRONG numerics, identical shapes/matmuls) purely to
+# bound the VPU one-hot-construction share of kernel time on chip.
+# Never set outside perf diagnostics.
+DIAG = _os.environ.get("MASS_SPLAT_DIAG", "")
 
 
 def _dot_precision(precision: str):
@@ -182,11 +187,22 @@ def _accumulate_and_blend(starts_ref, ids_ref, w_ref, cls_ref,
                     valid = (g_idx >= start) & (g_idx < end)
                     col = slots % half
                     row0 = (slots // half) * stride
-                    onehot = jnp.where(
-                        (col[:, None] == span_iota) & valid[:, None],
-                        1.0, 0.0)
+                    # validity folds into the [SUB] weight instead of
+                    # the [SUB, half] one-hot AND: an invalid record's
+                    # baug row is all-zero (every entry scales by w or
+                    # w^2), so its spurious one-hot column contributes
+                    # exactly 0 through the contraction
+                    if DIAG == "stub_onehot":
+                        onehot = jnp.broadcast_to(
+                            slots.astype(jnp.float32)[:, None],
+                            (SUB, half))
+                    else:
+                        onehot = jnp.where(
+                            col[:, None] == span_iota, 1.0, 0.0)
 
-                    w = jax.lax.slice(all_w, (lo,), (lo + SUB,))
+                    w = jnp.where(
+                        valid,
+                        jax.lax.slice(all_w, (lo,), (lo + SUB,)), 0.0)
                     cls = jax.lax.slice(all_cls, (lo,), (lo + SUB,))
                     w2 = w * w
                     baug = jnp.where(
@@ -344,12 +360,23 @@ def _frames_kernel(starts_ref,                       # [T*(S+1)] prefetch
                                 valid = (g_idx >= start) & (g_idx < end)
                                 col = slots % half
                                 row0 = (slots // half) * stride
-                                onehot = jnp.where(
-                                    (col[:, None] == span_iota)
-                                    & valid[:, None], 1.0, 0.0)
+                                # validity rides the [SUB] weight, not
+                                # a [SUB, half] one-hot AND (see the
+                                # single-frame kernel)
+                                if DIAG == "stub_onehot":
+                                    onehot = jnp.broadcast_to(
+                                        slots.astype(
+                                            jnp.float32)[:, None],
+                                        (SUB, half))
+                                else:
+                                    onehot = jnp.where(
+                                        col[:, None] == span_iota,
+                                        1.0, 0.0)
 
-                                w = jax.lax.slice(all_w, (lo,),
-                                                  (lo + SUB,))
+                                w = jnp.where(
+                                    valid,
+                                    jax.lax.slice(all_w, (lo,),
+                                                  (lo + SUB,)), 0.0)
                                 cls = jax.lax.slice(all_cls, (lo,),
                                                     (lo + SUB,))
                                 w2 = w * w
