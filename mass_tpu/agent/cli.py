@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start-task", type=int, default=0)
     p.add_argument("--every-tasks", type=int, default=1)
     p.add_argument("--total-tasks", type=int, default=50)
+    p.add_argument("--resume", action="store_true",
+                   help="skip tasks whose results/{id}.json already "
+                        "exists in --logdir (cross-process resume; "
+                        "sequential driver only)")
 
     # grid-world scene content (ignored by the THOR backend, whose
     # scenes come from the challenge dataset)
@@ -200,7 +204,7 @@ def config_from_args(args) -> AgentConfig:
         one_phase=args.one_phase,
         logdir=args.logdir, stage=args.stage,
         start_task=args.start_task, every_tasks=args.every_tasks,
-        total_tasks=args.total_tasks)
+        total_tasks=args.total_tasks, resume=args.resume)
 
 
 def load_segmentation_sensor(args):

@@ -436,7 +436,15 @@ class RearrangementAgent:
         all_metrics = []
         while cfg.total_tasks > 0:
             task_id = cfg.start_task
-            all_metrics.append(self.run_task(task_id))
+            if (cfg.resume and cfg.logdir and os.path.exists(
+                    os.path.join(cfg.logdir, "results",
+                                 f"{task_id}.json"))):
+                # cross-process resume: the task's results are already
+                # on disk — skip its episode in the sampler so later
+                # tasks see the same seed cursor as a fresh run
+                self.sampler.skip_task()
+            else:
+                all_metrics.append(self.run_task(task_id))
             for _ in range(cfg.every_tasks - 1):
                 self.sampler.skip_task()
             object.__setattr__(cfg, "start_task",

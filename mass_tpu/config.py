@@ -182,6 +182,12 @@ class AgentConfig:
     start_task: int = 0
     every_tasks: int = 1
     total_tasks: int = 50
+    # cross-PROCESS resume: skip any task whose results/{id}.json is
+    # already in logdir.  The reference only resumes within a process
+    # (agent.py:657-662 advances the parsed args between watchdog
+    # restarts); a fresh invocation re-runs everything.  SURVEY.md §5.3
+    # calls for logdir-scan resumability, and this is it.
+    resume: bool = False
 
     def geometry(self, feature_size: int = 1) -> MapGeometry:
         return MapGeometry(

@@ -99,3 +99,44 @@ def test_agent_fixes_object_in_easy_episode(tmp_path):
         m = agent.run()[0]
         best = max(best, m["unshuffle/prop_fixed"])
     assert best > 0.0
+
+
+def test_resume_skips_completed_tasks(tmp_path):
+    """--resume scans logdir and skips tasks whose results JSON exists,
+    while keeping the sampler's seed cursor aligned with a fresh run
+    (SURVEY.md §5.3: logdir-scan task resumability; the reference only
+    resumes within one process, agent.py:657-662)."""
+    import json
+    import os
+
+    cfg = _config(tmp_path, start_task=0, total_tasks=3, resume=True)
+    sampler = GridWorldTaskSampler(list(range(4)), camera=CAM,
+                                   max_steps=60, num_objects=2,
+                                   num_misplaced=1, num_opened=0)
+    agent = RearrangementAgent(cfg, sampler,
+                               rng=np.random.RandomState(0))
+
+    # tasks 0 and 2 are "already done" from a previous process
+    os.makedirs(tmp_path / "results", exist_ok=True)
+    for done in (0, 2):
+        with open(tmp_path / "results" / f"{done}.json", "w") as f:
+            json.dump({"unshuffle/prop_fixed_strict": 1.0}, f)
+
+    ran = []
+
+    def fake_run_task(task_id):
+        # consume the episode exactly like the real run_task does
+        agent.sampler.next_task()
+        agent.sampler.next_task()
+        ran.append((task_id, agent.sampler.current_episode.task_id))
+        return {"task": task_id}
+
+    agent.run_task = fake_run_task
+    results = agent.run()
+
+    # only the missing task ran, and its sampler episode seed matches
+    # what an uninterrupted run would have given task 1
+    assert ran == [(1, 1)]
+    assert results == [{"task": 1}]
+    # the config cursor still advanced past every task
+    assert cfg.start_task == 3 and cfg.total_tasks == 0
