@@ -47,10 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 # (docs/performance.md "Remaining headroom").
 import os as _os
 
-SPAN = 2048
+SPAN = int(_os.environ.get("MASS_SPLAT_SPAN", "2048"))
 CHUNK = 1024
 SUB = int(_os.environ.get("MASS_SPLAT_SUB", "256"))
 assert CHUNK % SUB == 0, f"MASS_SPLAT_SUB must divide {CHUNK}: {SUB}"
+# SPAN sets the one-hot matmul's column width ([SUB, SPAN/n_blocks]):
+# because records arrive SORTED by voxel id, shrinking SPAN is exactly
+# "tile-ordered processing" — each record's ideal MXU bill drops
+# linearly while the record stream and sort stay untouched (the map
+# must keep num_voxels % SPAN == 0; MapGeometry grids are
+# 256-multiples).  Measured on chip (round 4): the MAC savings do NOT
+# materialize — 2048 → 202.7 fps, 1024 → 160 fps, 512 → 108 fps
+# end-to-end; narrow spans are grid-iteration/overhead-bound.  2048
+# stays the default (docs/performance.md "Remaining headroom").
+assert SPAN % 256 == 0 and SPAN >= 256, f"MASS_SPLAT_SPAN: {SPAN}"
 # MASS_SPLAT_DIAG=stub_onehot replaces the [SUB, SPAN] one-hot compare
 # with a broadcast (WRONG numerics, identical shapes/matmuls) purely to
 # bound the VPU one-hot-construction share of kernel time on chip.
