@@ -319,11 +319,16 @@ def make_video_factory(args):
 
 def run_fleet(args, config, policy=None, backbone=None):
     """Lockstep fleet evaluation over the task range: batches of
-    ``--fleet-size`` episodes share one device dispatch per stage."""
-    assert args.backend == "gridworld", \
-        "fleet evaluation drives the gridworld backend"
+    ``--fleet-size`` episodes share one device dispatch per stage.
+
+    Both backends serve the same evaluator (it only touches the Task
+    protocol): the grid world builds one fresh singleton sampler per
+    episode, while the THOR gateway keeps ``--fleet-size`` persistent
+    samplers (one Unity process each, the reference's per-process env,
+    reference: agent.py:795-800) and skip-advances each slot's task-spec
+    iterator to its next task index between batches."""
+    assert args.backend in ("gridworld", "thor"), args.backend
     from mass_tpu.agent import metrics as M
-    from mass_tpu.env.rearrange import GridWorldTaskSampler
     from mass_tpu.parallel.evaluator import FleetEvaluator
 
     # learned segmentation in fleet mode runs as ONE batched device
@@ -334,19 +339,44 @@ def run_fleet(args, config, policy=None, backbone=None):
 
     seeds = [args.start_task + k * args.every_tasks
              for k in range(args.total_tasks)]
+
+    if args.backend == "thor":
+        from mass_tpu.env.thor import ThorTaskSampler
+        slots = [ThorTaskSampler(
+            stage=args.stage, ground_truth=True,
+            detection_threshold=args.detection_threshold,
+            screen_size=args.camera_size, one_phase=args.one_phase)
+            for _ in range(min(args.fleet_size, max(len(seeds), 1)))]
+        consumed = [0] * len(slots)   # task specs each slot has used
+
+        def batch_samplers(batch):
+            out = []
+            for i, s in enumerate(batch):
+                while consumed[i] < s:           # skip to this task
+                    slots[i].skip_task()
+                    consumed[i] += 1
+                consumed[i] += 1                 # the episode uses it
+                out.append(slots[i])
+            return out
+    else:
+        from mass_tpu.env.rearrange import GridWorldTaskSampler
+
+        def batch_samplers(batch):
+            return [GridWorldTaskSampler(
+                [s], camera=config.camera, max_steps=args.max_steps,
+                one_phase=args.one_phase,
+                num_objects=args.num_objects,
+                num_misplaced=args.num_misplaced,
+                num_opened=args.num_opened,
+                duplicate_class_pairs=args.duplicate_class_pairs,
+                room=(args.room_size, 2.5, args.room_size),
+                num_rooms=args.num_rooms)
+                for s in batch]
+
     all_results = []
     for lo in range(0, len(seeds), args.fleet_size):
         batch = seeds[lo:lo + args.fleet_size]
-        samplers = [GridWorldTaskSampler(
-            [s], camera=config.camera, max_steps=args.max_steps,
-            one_phase=args.one_phase,
-            num_objects=args.num_objects,
-            num_misplaced=args.num_misplaced,
-            num_opened=args.num_opened,
-            duplicate_class_pairs=args.duplicate_class_pairs,
-            room=(args.room_size, 2.5, args.room_size),
-            num_rooms=args.num_rooms)
-            for s in batch]
+        samplers = batch_samplers(batch)
         evaluator = FleetEvaluator(
             config, samplers, seeds=[args.seed + s for s in batch],
             policy_params=policy, sensor=sensor,
