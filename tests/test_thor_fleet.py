@@ -198,6 +198,42 @@ def _results(logdir, task_id):
         return json.load(f)
 
 
+def test_thor_fleet_slot_skip_ahead(fake_thor_grid, monkeypatch,
+                                    tmp_path):
+    """Persistent gateway slots skip to their assigned task index:
+    with --every-tasks 2 and fleet 2 over tasks (0, 2, 4), slot 0
+    serves specs 0 then 4 (skipping 1-3 between batches) and slot 1
+    serves spec 2 — observed on the grid-backed sampler's cursor."""
+    from mass_tpu.agent import cli
+    from mass_tpu.parallel import evaluator as ev
+
+    captured = []
+
+    class _StubEvaluator:
+        def __init__(self, config, samplers, seeds=None, **kw):
+            captured.append(
+                [s._sampler._grid._cursor for s in samplers])
+            self._samplers = samplers
+            for s in samplers:      # consume the spec like an episode
+                s.next_task()
+                s.next_task()
+
+        def run(self):
+            return [{"unshuffle/prop_fixed_strict": 0.0,
+                     "unshuffle/success": 0.0}
+                    for _ in self._samplers]
+
+    monkeypatch.setattr(ev, "FleetEvaluator", _StubEvaluator)
+    args = cli.build_parser().parse_args(
+        COMMON + ["--backend", "thor", "--fleet-size", "2",
+                  "--every-tasks", "2",
+                  "--logdir", str(tmp_path)])
+    results = cli.run_fleet(args, cli.config_from_args(args))
+
+    assert captured == [[0, 2], [4]]
+    assert [r["task_id"] for r in results] == [0, 2, 4]
+
+
 @pytest.mark.slow
 def test_thor_fleet_cli_matches_sequential_gateway(fake_thor_grid,
                                                    tmp_path):
