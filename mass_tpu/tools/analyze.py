@@ -114,6 +114,48 @@ def paired_compare(dir_a: str, dir_b: str,
                 losses, mcnemar_p=p, metric=metric)
 
 
+def paired_found_compare(dir_a: str, dir_b: str,
+                         phase: str = "unshuffle",
+                         radius: float = 1.0) -> Dict:
+    """Matched-seed paired t-test on the FINAL fraction of objects
+    approached within ``radius`` per task (the found-objects endpoint;
+    distances recorded by ``--record-found-objects``, reference:
+    agent.py:612-631).  This is the pre-registered primary endpoint of
+    the multi-room exploration sweeps (docs/experiments.md): unlike the
+    binary fix-rate it is continuous, so the paired t-test applies."""
+    from scipy import stats
+
+    def final_rates(logdir):
+        out = {}
+        for path in glob.glob(os.path.join(
+                logdir, "results", f"objects-found-{phase}-*.npy")):
+            tid = os.path.basename(path)[len(
+                f"objects-found-{phase}-"):-len(".npy")]
+            dist = np.load(path)                 # [objects, timesteps]
+            if dist.size == 0:
+                continue
+            out[tid] = float(
+                (np.minimum.accumulate(dist, axis=1)[:, -1]
+                 <= radius).mean())
+        return out
+
+    a, b = final_rates(dir_a), final_rates(dir_b)
+    common = sorted(set(a) & set(b), key=lambda t: (len(t), t))
+    if not common:
+        raise SystemExit(
+            f"no common found-objects recordings ({phase}) between "
+            f"{dir_a} and {dir_b} — run with --record-found-objects")
+    va = np.asarray([a[t] for t in common], np.float64)
+    vb = np.asarray([b[t] for t in common], np.float64)
+    if np.allclose(va, vb):
+        t_stat, p = 0.0, 1.0
+    else:
+        t_stat, p = (float(x) for x in stats.ttest_rel(va, vb))
+    return dict(n=len(common), phase=phase, radius=radius,
+                mean_a=mean_ci(va), mean_b=mean_ci(vb),
+                delta=float((va - vb).mean()), t=t_stat, p=p)
+
+
 def mean_ci(values, confidence: float = 0.68):
     """Mean with a t-interval like the reference's seaborn error bars
     (reference: visualize_metrics.py:80-95)."""
@@ -522,15 +564,30 @@ def main(argv=None):
     elif args.command == "compare":
         if len(args.logdirs) != 2:
             raise SystemExit("compare takes exactly two logdirs")
-        r = paired_compare(args.logdirs[0], args.logdirs[1],
-                           metric=args.metric)
-        (ma, ca), (mb, cb) = r["mean_a"], r["mean_b"]
-        print(f"{r['metric']}  (n={r['n']} matched tasks)")
-        print(f"  {args.logdirs[0]:40s} {ma:8.4f} ± {ca:.4f}")
-        print(f"  {args.logdirs[1]:40s} {mb:8.4f} ± {cb:.4f}")
-        print(f"  paired: A-wins {r['wins']}  B-wins {r['losses']}  "
-              f"ties {r['ties']}  exact McNemar p = "
-              f"{r['mcnemar_p']:.4f}")
+        if args.metric.startswith("found"):
+            # --metric found[:phase] — paired t-test on the final
+            # per-task found-objects rate at --radius
+            phase = (args.metric.split(":", 1) + ["unshuffle"])[1] \
+                if ":" in args.metric else "unshuffle"
+            r = paired_found_compare(args.logdirs[0], args.logdirs[1],
+                                     phase=phase, radius=args.radius)
+            (ma, ca), (mb, cb) = r["mean_a"], r["mean_b"]
+            print(f"final {r['phase']} found rate @ {r['radius']} m  "
+                  f"(n={r['n']} matched tasks)")
+            print(f"  {args.logdirs[0]:40s} {ma:8.4f} ± {ca:.4f}")
+            print(f"  {args.logdirs[1]:40s} {mb:8.4f} ± {cb:.4f}")
+            print(f"  paired t: delta {r['delta']:+.4f}  "
+                  f"t = {r['t']:.3f}  p = {r['p']:.4g}")
+        else:
+            r = paired_compare(args.logdirs[0], args.logdirs[1],
+                               metric=args.metric)
+            (ma, ca), (mb, cb) = r["mean_a"], r["mean_b"]
+            print(f"{r['metric']}  (n={r['n']} matched tasks)")
+            print(f"  {args.logdirs[0]:40s} {ma:8.4f} ± {ca:.4f}")
+            print(f"  {args.logdirs[1]:40s} {mb:8.4f} ± {cb:.4f}")
+            print(f"  paired: A-wins {r['wins']}  B-wins {r['losses']}"
+                  f"  ties {r['ties']}  exact McNemar p = "
+                  f"{r['mcnemar_p']:.4f}")
     elif args.command == "found":
         # one logdir: phase curves; several: overlay the arms with
         # 68% CI bands — the exploration-efficiency comparison

@@ -247,6 +247,42 @@ def test_paired_compare(tmp_path):
     assert abs(out["mean_b"][0] - 2 / 8) < 1e-9
 
 
+def test_paired_found_compare(tmp_path):
+    """compare --metric found:unshuffle pairs the FINAL per-task
+    found-objects rate (continuous endpoint -> paired t-test) on
+    common task ids at the given radius."""
+    for arm, scale in (("arm-a", 1.0), ("arm-b", 4.0)):
+        d = tmp_path / arm / "results"
+        d.mkdir(parents=True)
+        # two objects; arm-b's scaled distances keep object 2 unfound
+        dist = np.asarray([[3.0, 0.5], [5.0, 0.8]]) * scale
+        np.save(d / "objects-found-unshuffle-0.npy", dist)
+        np.save(d / "objects-found-unshuffle-1.npy", dist * 0.1)
+    # unmatched extra task in arm-a only -> excluded from the pairing
+    np.save(tmp_path / "arm-a" / "results"
+            / "objects-found-unshuffle-9.npy",
+            np.asarray([[0.1, 0.1]]))
+
+    out = analyze.paired_found_compare(
+        str(tmp_path / "arm-a"), str(tmp_path / "arm-b"), radius=1.0)
+    assert out["n"] == 2
+    # arm-a: task0 both found (1.0), task1 both found (1.0)
+    # arm-b: task0 none found (0.0), task1 both found (1.0)
+    assert abs(out["mean_a"][0] - 1.0) < 1e-9
+    assert abs(out["mean_b"][0] - 0.5) < 1e-9
+    assert abs(out["delta"] - 0.5) < 1e-9
+    assert 0.0 < out["p"] <= 1.0
+
+    # identical arms -> exact tie, p = 1
+    tie = analyze.paired_found_compare(
+        str(tmp_path / "arm-a"), str(tmp_path / "arm-a"), radius=1.0)
+    assert tie["delta"] == 0.0 and tie["p"] == 1.0
+
+    analyze.main(["compare", str(tmp_path / "arm-a"),
+                  str(tmp_path / "arm-b"),
+                  "--metric", "found:unshuffle", "--radius", "1.0"])
+
+
 def test_map_snapshots(tmp_path):
     """--snapshot-maps dumps recoverable voxel-map state
     (SURVEY.md §5.4; the reference's commented-out np.save practice,
