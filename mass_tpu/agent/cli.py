@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ground-truth-semantic-search", action="store_true")
     p.add_argument("--semantic-search-walkthrough", action="store_true")
     p.add_argument("--semantic-search-unshuffle", action="store_true")
+    p.add_argument("--frontier-exploration", action="store_true",
+                   help="exploration goals go to the reachable node "
+                        "with the most frontier (unknown bordering "
+                        "observed-free) map cells within 1 m, instead "
+                        "of a uniform random node — oracle-free "
+                        "directed search (nav/grid.frontier_mass)")
     p.add_argument("--use-feature-matching", action="store_true")
     p.add_argument("--record-found-objects", action="store_true")
     p.add_argument("--snapshot-maps", action="store_true",
@@ -197,6 +203,7 @@ def config_from_args(args) -> AgentConfig:
         ground_truth_semantic_search=args.ground_truth_semantic_search,
         semantic_search_walkthrough=args.semantic_search_walkthrough,
         semantic_search_unshuffle=args.semantic_search_unshuffle,
+        frontier_exploration=args.frontier_exploration,
         use_feature_matching=args.use_feature_matching,
         record_found_objects=args.record_found_objects,
         snapshot_maps=args.snapshot_maps,

@@ -151,6 +151,8 @@ class RearrangementAgent:
             return gt_goals.pop(0)
         if use_policy and self.policy_params is not None:
             return self._policy_goal(semantic_name)
+        if self.config.frontier_exploration:
+            return controller.frontier_navigation_goal({})
         return goal
 
     # -------------------------------------------------------- phases

@@ -153,6 +153,11 @@ class AgentConfig:
     ground_truth_semantic_search: bool = False
     semantic_search_walkthrough: bool = False
     semantic_search_unshuffle: bool = False
+    # oracle-free directed exploration: goals go to the reachable node
+    # with the most frontier (unknown-bordering-free) map cells nearby
+    # instead of a uniform random node (nav/grid.frontier_mass; beyond
+    # the reference's random / GT / learned-CNN goal heads)
+    frontier_exploration: bool = False
     use_feature_matching: bool = False
     record_found_objects: bool = False
     # dump end-of-episode voxel-map state per task for post-hoc

@@ -238,6 +238,42 @@ class NavigationController:
         return self._map_to_world(self._occupancy_vm(), cell3,
                                   epoch=self._bins_epoch())
 
+    def frontier_navigation_goal(self, observations: Dict,
+                                 radius_m: float = 1.0) -> np.ndarray:
+        """Directed exploration without an oracle or learning: the
+        reachable node with the most frontier cells (unknown space
+        bordering observed free space, nav/grid.frontier_mass) within
+        ``radius_m``, ties broken uniformly.  Falls back to the uniform
+        random node when the map has no frontier left.  Beyond the
+        reference (its goal heads are random / GT / a learned CNN,
+        agent.py:389-425, 744-770); drawn through the same rng stream
+        so enabling it keeps matched-seed arms comparable."""
+        if "position" not in observations:
+            observations["position"] = self.process_position()
+        nodes = self.navigable_node_cells(observations["position"])
+        cfg = self.config
+        res = self._occupancy_vm().geometry.grid_resolution
+        radius = max(1, int(round(radius_m / res)))
+        # padding=0: erosion is a path-planning safety margin, not an
+        # observability concept — with it, a sparsely-observed map's
+        # thin free strips (e.g. the first look-down frame's floor
+        # sliver before a wall) erode to nothing and no frontier exists
+        mass = np.asarray(NG.frontier_mass(
+            self._occupancy_vm(), radius, padding=0,
+            z_start=cfg.map_slice_start, z_stop=cfg.map_slice_stop,
+            obstacle_threshold=cfg.obstacle_threshold,
+            blocked=self._blocked_operand()))
+        scores = mass[nodes[:, 1], nodes[:, 0]]
+        best = scores.max() if scores.size else 0.0
+        if best <= 0:                      # fully explored: uniform
+            pick = nodes[self.rng.randint(nodes.shape[0])]
+        else:
+            ties = np.flatnonzero(scores >= best - 1e-6)
+            pick = nodes[ties[self.rng.randint(ties.shape[0])]]
+        cell3 = np.asarray([pick[0], pick[1], 0], np.float32)
+        return self._map_to_world(self._occupancy_vm(), cell3,
+                                  epoch=self._bins_epoch())
+
     # ------------------------------------------------------ local policy
 
     @staticmethod

@@ -63,6 +63,46 @@ def navigable_area(vm: VoxelMap, padding: int = 3, z_start: int = 0,
     return ~occ
 
 
+def _box_sum(x: jax.Array, r: int) -> jax.Array:
+    """(2r+1)^2 sliding-window sum with zero padding, via the integral
+    image (two cumsums) — O(H*W) regardless of the window size."""
+    k = 2 * r + 1
+    c = jnp.cumsum(jnp.cumsum(
+        jnp.pad(x, ((r + 1, r), (r + 1, r))), axis=0), axis=1)
+    return c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+
+
+@functools.partial(jax.jit, static_argnames=("radius_cells", "padding",
+                                             "z_start", "z_stop"))
+def frontier_mass(vm: VoxelMap, radius_cells: int, padding: int = 3,
+                  z_start: int = 0, z_stop: int = 32,
+                  obstacle_threshold: float = 0.0,
+                  blocked: jax.Array = None) -> jax.Array:
+    """[H, W] float — the number of FRONTIER cells within a
+    ``radius_cells`` Chebyshev window of each map cell.
+
+    Frontier = unobserved cells bordering observed navigable space (the
+    classic exploration-frontier definition).  Unknown space behind
+    walls does NOT count — its border cells are obstacles, not free —
+    so out-of-scene map area and sealed rooms score zero while doorways
+    into unexplored rooms score high.  Beyond the reference: its goal
+    heads are uniform-random / GT / a learned CNN
+    (agent.py:389-425, 744-770); this is the oracle-free directed-
+    exploration head the same top-down maps support.
+    """
+    observed = vm.max_over_depth().max(-1) > 0          # any splat
+    nav = navigable_area(vm, padding, z_start, z_stop,
+                         obstacle_threshold, blocked=blocked)
+    free = observed & nav
+    near_free = (free
+                 | jnp.pad(free[1:], ((0, 1), (0, 0)))
+                 | jnp.pad(free[:-1], ((1, 0), (0, 0)))
+                 | jnp.pad(free[:, 1:], ((0, 0), (0, 1)))
+                 | jnp.pad(free[:, :-1], ((0, 0), (1, 0))))
+    frontier = (~observed) & near_free
+    return _box_sum(frontier.astype(jnp.float32), radius_cells)
+
+
 class NavGrid(NamedTuple):
     """Navigation mesh state (all device arrays).
 

@@ -164,6 +164,8 @@ class _Episode:
             return gt_goals.pop(0)
         if use_policy and self._policy is not None:
             return self._policy_goal(semantic_name)
+        if self.config.frontier_exploration:
+            return self.controller.frontier_navigation_goal({})
         return goal
 
     def _policy_goal(self, semantic_name: str) -> np.ndarray:

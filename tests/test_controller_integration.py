@@ -65,6 +65,37 @@ def test_walkthrough_builds_map_and_navigates():
     assert moved > 0.2 or near < 0.6, (moved, near)
 
 
+def test_frontier_goal_prefers_unexplored_direction():
+    sampler = RR.GridWorldTaskSampler([15], camera=CAM, max_steps=60,
+                                      num_objects=3, num_misplaced=1,
+                                      num_opened=0)
+    task = sampler.next_task()
+    ctl = _controller(task)
+    task.step(task.action_names().index("look_down"))
+    obs = task.get_observations()
+    ctl.process_observations(obs, update_map="occupancy")
+    ctl.update_navigation_grid()
+
+    pos = ctl.process_position()
+    nodes = ctl.navigable_node_cells(pos)
+    goal = ctl.frontier_navigation_goal({})
+    assert np.asarray(goal).shape == (3,)
+    # the chosen goal is one of the reachable nodes
+    cell = np.asarray(ctl.maps["occupancy"].voxel_map.world_to_map(
+        np.asarray(goal, np.float32)[:2]))
+    assert any((cell == n).all() for n in nodes)
+    # after one frame only the viewing cone is observed, so frontier
+    # mass must exist and the pick must carry positive mass
+    from mass_tpu.nav import grid as NG
+    mass = np.asarray(NG.frontier_mass(
+        ctl.maps["occupancy"].voxel_map, 8,
+        padding=0, z_start=NAV.map_slice_start,
+        z_stop=NAV.map_slice_stop))
+    assert mass.max() > 0
+    assert mass[cell[1], cell[0]] >= mass[
+        nodes[:, 1], nodes[:, 0]].max() - 1e-6
+
+
 def test_failed_action_prunes_node():
     sampler = RR.GridWorldTaskSampler([13], camera=CAM, max_steps=60,
                                       num_objects=3, num_misplaced=1,

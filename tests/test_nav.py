@@ -1,8 +1,12 @@
 """Navigation mesh + planner tests on synthetic occupancy."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
+from mass_tpu.config import MapGeometry
+from mass_tpu.core.voxelmap import VoxelMap
 from mass_tpu.nav import grid as NG
 
 
@@ -62,6 +66,56 @@ def test_offset_grid_nodes():
     # cells respect the offsets: x = 1 + 3j, y = 2 + 3i
     assert ((path[:, 0] - 1) % 3 == 0).all()
     assert ((path[:, 1] - 2) % 3 == 0).all()
+
+
+def _vm_from_grid(grid):
+    h, w, d, f = grid.shape
+    g = MapGeometry(map_height=h, map_width=w, map_depth=d,
+                    feature_size=f, grid_resolution=0.25)
+    vm = VoxelMap.create(g)
+    return dataclasses.replace(
+        vm, data=jnp.asarray(grid.reshape(h * w * d, f)))
+
+
+def test_frontier_mass_concentrates_at_doorway():
+    grid = np.zeros((16, 16, 4, 1), np.float32)
+    grid[:, :8, 0, 0] = 1.0        # left half observed (floor voxel)
+    grid[:12, 8, 1, 0] = 1.0       # wall at x=8 with a door at rows 12+
+    vm = _vm_from_grid(grid)
+    mass = np.asarray(NG.frontier_mass(vm, 2, padding=0,
+                                       z_start=1, z_stop=4))
+    assert mass.shape == (16, 16)
+    # the only frontier cells are the unobserved doorway column (x=8,
+    # rows 12-15): positive mass only within the radius-2 window there
+    pos = mass > 0
+    assert pos[12:, 7].all() and pos[12:, 9].all()
+    # sealed space behind the wall does NOT count as frontier
+    assert not pos[:8, 10:].any()
+    # nor does the observed interior far from the doorway
+    assert not pos[:8, :6].any()
+
+
+def test_frontier_mass_zero_when_fully_explored():
+    grid = np.zeros((16, 16, 4, 1), np.float32)
+    grid[:, :, 0, 0] = 1.0         # everything observed free
+    vm = _vm_from_grid(grid)
+    mass = np.asarray(NG.frontier_mass(vm, 3, padding=0,
+                                       z_start=1, z_stop=4))
+    assert (mass == 0).all()
+
+
+def test_frontier_box_sum_matches_naive():
+    rng = np.random.RandomState(0)
+    x = rng.rand(13, 17).astype(np.float32)
+    for r in (1, 2, 4):
+        got = np.asarray(NG._box_sum(jnp.asarray(x), r))
+        k = 2 * r + 1
+        pad = np.pad(x, r)
+        want = np.zeros_like(x)
+        for i in range(x.shape[0]):
+            for j in range(x.shape[1]):
+                want[i, j] = pad[i:i + k, j:j + k].sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
 def test_nearest_node_reachability_filter():
