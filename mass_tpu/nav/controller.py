@@ -216,8 +216,10 @@ class NavigationController:
         return self._path_from_field(np.asarray(dist), np.asarray(tgt),
                                      np.asarray(agent_cell))
 
-    def navigable_node_cells(self, position) -> np.ndarray:
-        """Map cells of all nodes reachable from ``position``."""
+    def navigable_node_cells(self, position,
+                             with_dist: bool = False) -> np.ndarray:
+        """Map cells of all nodes reachable from ``position``; with
+        ``with_dist`` also their BFS hop counts from the agent."""
         _, dist = self._source_field(position)
         dist = np.asarray(dist)
         alive = np.asarray(self.nav_grid.alive)
@@ -225,7 +227,8 @@ class NavigationController:
         s = self.config.step_size
         xs = int(self.nav_grid.off_x) + jj * s
         ys = int(self.nav_grid.off_y) + ii * s
-        return np.stack([xs, ys], axis=-1)
+        cells = np.stack([xs, ys], axis=-1)
+        return (cells, dist[ii, jj]) if with_dist else cells
 
     def sample_navigation_goal(self, observations: Dict) -> np.ndarray:
         """Uniform random reachable node, as a world point (reference:
@@ -240,17 +243,29 @@ class NavigationController:
 
     def frontier_navigation_goal(self, observations: Dict,
                                  radius_m: float = 1.0) -> np.ndarray:
-        """Directed exploration without an oracle or learning: the
-        reachable node with the most frontier cells (unknown space
-        bordering observed free space, nav/grid.frontier_mass) within
-        ``radius_m``, ties broken uniformly.  Falls back to the uniform
-        random node when the map has no frontier left.  Beyond the
-        reference (its goal heads are random / GT / a learned CNN,
-        agent.py:389-425, 744-770); drawn through the same rng stream
-        so enabling it keeps matched-seed arms comparable."""
+        """Directed exploration without an oracle or learning:
+        FARTHEST-frontier — of the reachable nodes with any frontier
+        cells (unknown space bordering observed free space,
+        nav/grid.frontier_mass) within ``radius_m``, the one with the
+        largest BFS hop count from the agent, ties broken uniformly.
+        Falls back to the uniform random node when the map has no
+        frontier left.
+
+        Farthest (not greatest-mass) is load-bearing under the
+        goal-counted exploration budget: frontier nodes sit at the
+        boundary of KNOWN space, so the mass argmax is typically a
+        short hop that burns a whole budget slot, while this planner
+        treats unknown cells as navigable-until-observed and a far
+        goal sweeps the intervening scene (measured: greedy-mass lost
+        −17 pts of found rate to random on multi-room scenes;
+        docs/experiments.md).  Beyond the reference (its goal heads
+        are random / GT / a learned CNN, agent.py:389-425, 744-770);
+        drawn through the same rng stream so enabling it keeps
+        matched-seed arms comparable."""
         if "position" not in observations:
             observations["position"] = self.process_position()
-        nodes = self.navigable_node_cells(observations["position"])
+        nodes, hops = self.navigable_node_cells(
+            observations["position"], with_dist=True)
         cfg = self.config
         res = self._occupancy_vm().geometry.grid_resolution
         radius = max(1, int(round(radius_m / res)))
@@ -264,11 +279,12 @@ class NavigationController:
             obstacle_threshold=cfg.obstacle_threshold,
             blocked=self._blocked_operand()))
         scores = mass[nodes[:, 1], nodes[:, 0]]
-        best = scores.max() if scores.size else 0.0
-        if best <= 0:                      # fully explored: uniform
+        cand = np.flatnonzero(scores > 0)
+        if cand.size == 0:                 # fully explored: uniform
             pick = nodes[self.rng.randint(nodes.shape[0])]
         else:
-            ties = np.flatnonzero(scores >= best - 1e-6)
+            far = hops[cand].max()
+            ties = cand[hops[cand] >= far]
             pick = nodes[ties[self.rng.randint(ties.shape[0])]]
         cell3 = np.asarray([pick[0], pick[1], 0], np.float32)
         return self._map_to_world(self._occupancy_vm(), cell3,

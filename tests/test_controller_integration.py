@@ -77,23 +77,26 @@ def test_frontier_goal_prefers_unexplored_direction():
     ctl.update_navigation_grid()
 
     pos = ctl.process_position()
-    nodes = ctl.navigable_node_cells(pos)
+    nodes, hops = ctl.navigable_node_cells(pos, with_dist=True)
     goal = ctl.frontier_navigation_goal({})
     assert np.asarray(goal).shape == (3,)
     # the chosen goal is one of the reachable nodes
     cell = np.asarray(ctl.maps["occupancy"].voxel_map.world_to_map(
         np.asarray(goal, np.float32)[:2]))
-    assert any((cell == n).all() for n in nodes)
+    hit = np.nonzero((nodes == cell).all(-1))[0]
+    assert hit.size > 0
     # after one frame only the viewing cone is observed, so frontier
-    # mass must exist and the pick must carry positive mass
+    # mass must exist; farthest-frontier rule: the pick carries
+    # positive mass AND the max hop count among positive-mass nodes
     from mass_tpu.nav import grid as NG
     mass = np.asarray(NG.frontier_mass(
         ctl.maps["occupancy"].voxel_map, 8,
         padding=0, z_start=NAV.map_slice_start,
         z_stop=NAV.map_slice_stop))
-    assert mass.max() > 0
-    assert mass[cell[1], cell[0]] >= mass[
-        nodes[:, 1], nodes[:, 0]].max() - 1e-6
+    scores = mass[nodes[:, 1], nodes[:, 0]]
+    assert scores.max() > 0
+    assert scores[hit[0]] > 0
+    assert hops[hit[0]] == hops[scores > 0].max()
 
 
 def test_failed_action_prunes_node():
