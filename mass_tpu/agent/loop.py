@@ -326,6 +326,8 @@ class RearrangementAgent:
             taxonomy.CLASS_NAMES[i] for i in object_ids_to_move]
         results["unshuffle/objects_to_move_accuracy"] = [
             1 if i in objects_moved else 0 for i in object_ids_to_move]
+        results["unshuffle/observed_cells"] = \
+            controller.observed_cell_count()
         # per-stage wall-time observability (SURVEY.md §5.1 — absent in
         # the reference)
         results["timing"] = self.timer.summary()
@@ -413,6 +415,8 @@ class RearrangementAgent:
             taxonomy.CLASS_NAMES[i] for i in object_ids_to_move]
         results["unshuffle/objects_to_move_accuracy"] = [
             1 if i in objects_moved else 0 for i in object_ids_to_move]
+        results["unshuffle/observed_cells"] = \
+            controller.observed_cell_count()
         results["timing"] = self.timer.summary()
 
         if cfg.logdir:

@@ -230,6 +230,15 @@ class NavigationController:
         cells = np.stack([xs, ys], axis=-1)
         return (cells, dist[ii, jj]) if with_dist else cells
 
+    def observed_cell_count(self) -> int:
+        """Number of nav-map cells with any splat — end-of-episode
+        exploration coverage (comparable across matched seeds; the
+        exploration-head experiments' mechanism metric).  Rides the
+        fused max_over_depth, so no eager slab materializes."""
+        vm = self._occupancy_vm()
+        return int(np.asarray(
+            (vm.max_over_depth().max(-1) > 0).sum()))
+
     def sample_navigation_goal(self, observations: Dict) -> np.ndarray:
         """Uniform random reachable node, as a world point (reference:
         mass/navigation_policy.py:389-425)."""

@@ -296,6 +296,8 @@ class _Episode:
         results["unshuffle/objects_to_move_accuracy"] = [
             1 if i in self.objects_moved else 0
             for i in self.object_ids_to_move]
+        results["unshuffle/observed_cells"] = \
+            self.controller.observed_cell_count()
         self.results = results
         self.phase = DONE
         self.mission = None
