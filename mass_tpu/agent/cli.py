@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "observed-free) map cells within 1 m, instead "
                         "of a uniform random node — oracle-free "
                         "directed search (nav/grid.frontier_mass)")
+    p.add_argument("--revisit-exploration", action="store_true",
+                   help="unshuffle-phase exploration goals revisit the "
+                        "walkthrough map's object sites (the matcher's "
+                        "own find() localization) — oracle-free "
+                        "semantically-targeted search; frontier "
+                        "fallback once all sites are visited")
     p.add_argument("--use-feature-matching", action="store_true")
     p.add_argument("--record-found-objects", action="store_true")
     p.add_argument("--snapshot-maps", action="store_true",
@@ -204,6 +210,7 @@ def config_from_args(args) -> AgentConfig:
         semantic_search_walkthrough=args.semantic_search_walkthrough,
         semantic_search_unshuffle=args.semantic_search_unshuffle,
         frontier_exploration=args.frontier_exploration,
+        revisit_exploration=args.revisit_exploration,
         use_feature_matching=args.use_feature_matching,
         record_found_objects=args.record_found_objects,
         snapshot_maps=args.snapshot_maps,

@@ -28,6 +28,7 @@ from mass_tpu.agent import oracle
 from mass_tpu.config import AgentConfig
 from mass_tpu.env.gridworld import snake_case
 from mass_tpu.maps import FeatureMap, MapSet, OccupancyMap, SemanticMap
+from mass_tpu.match import revisit
 from mass_tpu.match.differences import predict_scene_differences
 from mass_tpu.nav.controller import NavigationController
 from mass_tpu.search import policy as search_policy
@@ -143,14 +144,31 @@ class RearrangementAgent:
                 cell.astype(jnp.float32)))
         return goal
 
+    def _revisit_goal(self, controller) -> Optional[np.ndarray]:
+        """Unshuffle-phase goal at an unvisited walkthrough object
+        site (match/revisit.py); None once every site is visited."""
+        if self._revisit_sites is None:
+            with self.timer.stage("matching"):
+                self._revisit_sites = revisit.walkthrough_sites(
+                    self.maps["semantic0"].voxel_map,
+                    self.config.match)
+        return revisit.pick_site(self._revisit_sites,
+                                 self._revisit_used, self.rng)
+
     def _next_goal(self, controller, semantic_name: str,
                    gt_goals: List[np.ndarray],
-                   use_policy: bool) -> np.ndarray:
+                   use_policy: bool,
+                   revisit_ok: bool = False) -> np.ndarray:
         goal = controller.sample_navigation_goal({})
         if gt_goals:
             return gt_goals.pop(0)
         if use_policy and self.policy_params is not None:
             return self._policy_goal(semantic_name)
+        if revisit_ok and self.config.revisit_exploration:
+            site = self._revisit_goal(controller)
+            if site is not None:
+                return site
+            return controller.frontier_navigation_goal({})
         if self.config.frontier_exploration:
             return controller.frontier_navigation_goal({})
         return goal
@@ -159,12 +177,13 @@ class RearrangementAgent:
 
     def _explore(self, controller, budget: int, semantic_name: str,
                  update_maps: List[str], gt_goals: List[np.ndarray],
-                 use_policy: bool, callback, tracker) -> None:
+                 use_policy: bool, callback, tracker,
+                 revisit_ok: bool = False) -> None:
         num_goals = 0
         while not controller.task.is_done() and num_goals < budget:
             num_goals += 1
             goal = self._next_goal(controller, semantic_name, gt_goals,
-                                   use_policy)
+                                   use_policy, revisit_ok=revisit_ok)
             for obs in controller.navigate_to(goal,
                                               update_map=update_maps):
                 if callback is not None:
@@ -246,6 +265,8 @@ class RearrangementAgent:
             return self._run_task_one_phase(task_id)
         cfg = self.config
         self.timer = StageTimer()       # fresh per-task stage timing
+        self._revisit_sites = None      # per-task revisit-head state
+        self._revisit_used: set = set()
         walkthrough = self.sampler.next_task()
 
         loc = walkthrough.agent_location()
@@ -303,7 +324,7 @@ class RearrangementAgent:
         self._explore(controller, cfg.exploration_budget_two,
                       "semantic1", self.phase_two, gt_goals_unshuffle,
                       cfg.semantic_search_unshuffle, callback,
-                      unshuffle_track)
+                      unshuffle_track, revisit_ok=True)
 
         # --- rearrangement
         objects_moved: set = set()

@@ -158,6 +158,13 @@ class AgentConfig:
     # instead of a uniform random node (nav/grid.frontier_mass; beyond
     # the reference's random / GT / learned-CNN goal heads)
     frontier_exploration: bool = False
+    # oracle-free SEMANTIC exploration: unshuffle-phase goals revisit
+    # the walkthrough map's own object sites (match/revisit.py) —
+    # evidence lands exactly where cross-phase disagreement is
+    # decidable; falls back to farthest-frontier once all sites are
+    # visited.  Walkthrough-phase goals are unaffected (combine with
+    # frontier_exploration for directed coverage there).
+    revisit_exploration: bool = False
     use_feature_matching: bool = False
     record_found_objects: bool = False
     # dump end-of-episode voxel-map state per task for post-hoc

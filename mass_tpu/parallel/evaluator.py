@@ -44,6 +44,7 @@ from mass_tpu.agent.loop import (GOAL_FED_MAPS, PHASE_ONE_MAPS,
                                  PHASE_TWO_MAPS)
 from mass_tpu.config import AgentConfig
 from mass_tpu.env.gridworld import snake_case
+from mass_tpu.match import revisit
 from mass_tpu.match.differences import predict_scene_differences
 from mass_tpu.nav import grid as NG
 from mass_tpu.nav.controller import NavigationController
@@ -98,6 +99,8 @@ class _Episode:
         self.objects_moved: set = set()
         self.results: Optional[Dict] = None
         self._fleet = fleet
+        self._revisit_sites = None      # revisit-head per-episode state
+        self._revisit_used: set = set()
         self._policy = policy       # shared jitted goal-cell sampler
         # same per-episode key derivation as the sequential agent
         # (agent/loop.py: PRNGKey(rng.randint(1 << 30)) at init)
@@ -164,9 +167,28 @@ class _Episode:
             return gt_goals.pop(0)
         if use_policy and self._policy is not None:
             return self._policy_goal(semantic_name)
+        if (self.config.revisit_exploration and not self.config.one_phase
+                and self.phase == UNSHUFFLE):
+            # same revisit_ok condition as the sequential driver's
+            # unshuffle _explore (agent/loop.py run_task)
+            site = self._revisit_goal()
+            if site is not None:
+                return site
+            return self.controller.frontier_navigation_goal({})
         if self.config.frontier_exploration:
             return self.controller.frontier_navigation_goal({})
         return goal
+
+    def _revisit_goal(self) -> Optional[np.ndarray]:
+        """Walkthrough-site revisit goal from this episode's fleet slab
+        (mirrors agent/loop._revisit_goal; match/revisit.py)."""
+        if self._revisit_sites is None:
+            with self.timer.stage("matching"):
+                self._revisit_sites = revisit.walkthrough_sites(
+                    self._fleet.view("semantic0", self.index),
+                    self.config.match)
+        return revisit.pick_site(self._revisit_sites,
+                                 self._revisit_used, self.rng)
 
     def _policy_goal(self, semantic_name: str) -> np.ndarray:
         """Semantic-search goal from this episode's fleet slab

@@ -195,6 +195,40 @@ def test_fleet_frontier_goals_match_sequential_agent(tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_revisit_goals_match_sequential_agent(tmp_path):
+    """Walkthrough-site revisit goals (match/revisit.py: unshuffle
+    exploration targets the walkthrough map's own find() sites) must
+    reproduce the sequential agent's episodes on matched seeds — the
+    site lists derive from bit-identical maps and the picks ride the
+    same controller rng stream."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _config(tmp_path), ground_truth_semantic_search=False,
+        revisit_exploration=True, frontier_exploration=True)
+
+    fleet = FleetEvaluator(cfg, [_sampler(s) for s in SEEDS],
+                           seeds=[100 + s for s in SEEDS])
+    fleet_results = fleet.run()
+
+    from mass_tpu.agent.loop import RearrangementAgent
+    seq_results = []
+    for s in SEEDS:
+        agent = RearrangementAgent(
+            cfg, _sampler(s), rng=np.random.RandomState(100 + s))
+        seq_results.append(agent.run_task(0))
+
+    keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
+            "unshuffle/success", "unshuffle/num_fixed",
+            "unshuffle/observed_cells")
+    for got, want, s in zip(fleet_results, seq_results, SEEDS):
+        for k in keys:
+            assert got[k] == want[k], (s, k, got[k], want[k])
+        assert got["unshuffle/objects_moved"] == \
+            want["unshuffle/objects_moved"], s
+
+
+@pytest.mark.slow
 def test_fleet_one_phase_matches_sequential_agent(tmp_path):
     """One-phase fleet episodes (single task, goal-fed semantic0 via a
     second batched launch per tick) must reproduce the sequential

@@ -206,3 +206,35 @@ def test_instance_cap_escalates_beyond_16():
     d = np.linalg.norm(np.asarray(goals0[0])[:2] -
                        np.asarray(goals1[0])[:2])
     assert d > 0.5
+
+
+def test_revisit_sites_and_pick():
+    """walkthrough_sites returns every localized instance's world
+    position; pick_site draws each exactly once then signals
+    exhaustion (match/revisit.py)."""
+    from mass_tpu.match import revisit
+
+    blobs = [(3, 10, 14, 20, 26, 2, 5, 0.8),
+             (7, 2, 5, 3, 6, 0, 3, 0.6),
+             (7, 25, 28, 30, 34, 1, 4, 0.6)]
+    vm = _map_with_blobs(blobs)
+    cfg = MatchConfig(max_instances=8)
+    sites = revisit.walkthrough_sites(vm, cfg)
+    assert sites.shape == (3, 3)
+    # each blob's centroid world position appears exactly once
+    expect = []
+    for c, y0, y1, x0, x1, z0, z1, p in blobs:
+        cy, cx, cz = (y0 + y1 - 1) / 2, (x0 + x1 - 1) / 2, \
+            (z0 + z1 - 1) / 2
+        expect.append(np.asarray(vm.map_to_world(
+            jnp.asarray([cx, cy, cz], jnp.float32))))
+    for e in expect:
+        d = np.linalg.norm(sites - e[None], axis=-1)
+        assert d.min() < 1e-3
+    # pick_site: permutation without replacement, then None
+    rng = np.random.RandomState(0)
+    used: set = set()
+    picks = [revisit.pick_site(sites, used, rng) for _ in range(4)]
+    assert picks[3] is None
+    got = np.sort(np.stack(picks[:3])[:, 0])
+    assert np.allclose(got, np.sort(sites[:, 0]))
