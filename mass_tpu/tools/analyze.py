@@ -108,10 +108,16 @@ def paired_compare(dir_a: str, dir_b: str,
         p = float(stats.binomtest(wins, wins + losses, 0.5).pvalue)
     else:
         p = 1.0
+    # continuous metrics (e.g. unshuffle/observed_cells) also get the
+    # paired t — the sign test alone discards the magnitudes
+    if np.allclose(va, vb):
+        t_stat, t_p = 0.0, 1.0
+    else:
+        t_stat, t_p = (float(x) for x in stats.ttest_rel(va, vb))
     return dict(n=len(common),
                 mean_a=mean_ci(va), mean_b=mean_ci(vb),
                 wins=wins, losses=losses, ties=len(common) - wins -
-                losses, mcnemar_p=p, metric=metric)
+                losses, mcnemar_p=p, t=t_stat, t_p=t_p, metric=metric)
 
 
 def paired_found_compare(dir_a: str, dir_b: str,
@@ -588,6 +594,7 @@ def main(argv=None):
             print(f"  paired: A-wins {r['wins']}  B-wins {r['losses']}"
                   f"  ties {r['ties']}  exact McNemar p = "
                   f"{r['mcnemar_p']:.4f}")
+            print(f"  paired t: t = {r['t']:.3f}  p = {r['t_p']:.4g}")
     elif args.command == "found":
         # one logdir: phase curves; several: overlay the arms with
         # 68% CI bands — the exploration-efficiency comparison
