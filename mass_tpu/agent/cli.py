@@ -78,11 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--semantic-search-walkthrough", action="store_true")
     p.add_argument("--semantic-search-unshuffle", action="store_true")
     p.add_argument("--frontier-exploration", action="store_true",
-                   help="exploration goals go to the reachable node "
-                        "with the most frontier (unknown bordering "
-                        "observed-free) map cells within 1 m, instead "
-                        "of a uniform random node — oracle-free "
-                        "directed search (nav/grid.frontier_mass)")
+                   help="exploration goals go to the FARTHEST "
+                        "reachable node that still has frontier "
+                        "(unknown bordering observed-free) map cells "
+                        "within 1 m, instead of a uniform random node "
+                        "— oracle-free directed search "
+                        "(nav/grid.frontier_mass; farthest, not "
+                        "greatest-mass: measured in "
+                        "docs/experiments.md)")
     p.add_argument("--revisit-exploration", action="store_true",
                    help="unshuffle-phase exploration goals revisit the "
                         "walkthrough map's object sites (the matcher's "

@@ -153,10 +153,12 @@ class AgentConfig:
     ground_truth_semantic_search: bool = False
     semantic_search_walkthrough: bool = False
     semantic_search_unshuffle: bool = False
-    # oracle-free directed exploration: goals go to the reachable node
-    # with the most frontier (unknown-bordering-free) map cells nearby
-    # instead of a uniform random node (nav/grid.frontier_mass; beyond
-    # the reference's random / GT / learned-CNN goal heads)
+    # oracle-free directed exploration: goals go to the FARTHEST
+    # reachable node with positive frontier (unknown-bordering-free)
+    # mass nearby, instead of a uniform random node
+    # (nav/grid.frontier_mass; beyond the reference's random / GT /
+    # learned-CNN goal heads — selection rule measured in
+    # docs/experiments.md "Frontier exploration")
     frontier_exploration: bool = False
     # oracle-free SEMANTIC exploration: unshuffle-phase goals revisit
     # the walkthrough map's own object sites (match/revisit.py) —

@@ -25,20 +25,37 @@ from typing import Optional, Set
 
 import numpy as np
 
+from mass_tpu import taxonomy
 from mass_tpu.config import MatchConfig
 from mass_tpu.core.voxelmap import VoxelMap
 from mass_tpu.match.find import find_all_classes
 
+# classes the matcher can act on (match/differences.py skips everything
+# else): structure mass (OccupiedSpace, class 0) must not spend goal
+# slots — its blobs are walls and furniture, never differences
+_ACTIONABLE = np.asarray(
+    [p or o for p, o in zip(taxonomy.ID_TO_PICKABLE,
+                            taxonomy.ID_TO_OPENABLE)])
+
 
 def walkthrough_sites(vm0: VoxelMap, match: MatchConfig) -> np.ndarray:
-    """[N, 3] world positions of every instance localized in the
-    walkthrough map, using the matcher's own detection parameters."""
-    inst = find_all_classes(
-        vm0, confidence_threshold=match.confidence_threshold,
-        contour_padding=match.contour_padding,
-        contour_threshold=match.contour_threshold,
-        max_instances=match.max_instances)
-    present = np.asarray(inst.present)          # [C, K]
+    """[N, 3] world positions of every ACTIONABLE-class instance
+    localized in the walkthrough map, using the matcher's own
+    detection parameters — including its adaptive instance-cap
+    escalation (match/differences.py doubles K on truncation; a
+    silent cap here would drop revisit sites in dense scenes)."""
+    k = match.max_instances
+    while True:
+        inst = find_all_classes(
+            vm0, confidence_threshold=match.confidence_threshold,
+            contour_padding=match.contour_padding,
+            contour_threshold=match.contour_threshold,
+            max_instances=k)
+        trunc = np.asarray(inst.truncated).astype(bool)
+        if k >= 256 or not bool((trunc & _ACTIONABLE).any()):
+            break
+        k *= 2
+    present = np.asarray(inst.present) & _ACTIONABLE[:, None]  # [C, K]
     pos = np.asarray(inst.position)             # [C, K, 3]
     return pos[present].astype(np.float32)
 

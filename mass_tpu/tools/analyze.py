@@ -110,10 +110,7 @@ def paired_compare(dir_a: str, dir_b: str,
         p = 1.0
     # continuous metrics (e.g. unshuffle/observed_cells) also get the
     # paired t — the sign test alone discards the magnitudes
-    if np.allclose(va, vb):
-        t_stat, t_p = 0.0, 1.0
-    else:
-        t_stat, t_p = (float(x) for x in stats.ttest_rel(va, vb))
+    t_stat, t_p = _paired_t(va, vb)
     return dict(n=len(common),
                 mean_a=mean_ci(va), mean_b=mean_ci(vb),
                 wins=wins, losses=losses, ties=len(common) - wins -
@@ -153,13 +150,24 @@ def paired_found_compare(dir_a: str, dir_b: str,
             f"{dir_a} and {dir_b} — run with --record-found-objects")
     va = np.asarray([a[t] for t in common], np.float64)
     vb = np.asarray([b[t] for t in common], np.float64)
-    if np.allclose(va, vb):
-        t_stat, p = 0.0, 1.0
-    else:
-        t_stat, p = (float(x) for x in stats.ttest_rel(va, vb))
+    t_stat, p = _paired_t(va, vb)
     return dict(n=len(common), phase=phase, radius=radius,
                 mean_a=mean_ci(va), mean_b=mean_ci(vb),
                 delta=float((va - vb).mean()), t=t_stat, p=p)
+
+
+def _paired_t(va: np.ndarray, vb: np.ndarray):
+    """ttest_rel with the degenerate cases pinned: identical arms ->
+    (0, 1); a CONSTANT nonzero difference (possible for integer
+    metrics at small n) has zero difference-variance, where ttest_rel
+    returns inf/nan — report it as the certain direction it is."""
+    from scipy import stats
+    d = va - vb
+    if np.allclose(d, 0):
+        return 0.0, 1.0
+    if np.allclose(d.std(), 0):
+        return float(np.sign(d.mean()) * np.inf), 0.0
+    return tuple(float(x) for x in stats.ttest_rel(va, vb))
 
 
 def mean_ci(values, confidence: float = 0.68):

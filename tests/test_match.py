@@ -216,11 +216,15 @@ def test_revisit_sites_and_pick():
 
     blobs = [(3, 10, 14, 20, 26, 2, 5, 0.8),
              (7, 2, 5, 3, 6, 0, 3, 0.6),
-             (7, 25, 28, 30, 34, 1, 4, 0.6)]
+             (7, 25, 28, 30, 34, 1, 4, 0.6),
+             # structure mass (class 0, OccupiedSpace): never a site —
+             # the matcher cannot act on it (match/differences.py)
+             (0, 0, 32, 0, 2, 0, 8, 1.0)]
     vm = _map_with_blobs(blobs)
     cfg = MatchConfig(max_instances=8)
     sites = revisit.walkthrough_sites(vm, cfg)
     assert sites.shape == (3, 3)
+    blobs = blobs[:3]
     # each blob's centroid world position appears exactly once
     expect = []
     for c, y0, y1, x0, x1, z0, z1, p in blobs:
