@@ -347,8 +347,13 @@ class RearrangementAgent:
             taxonomy.CLASS_NAMES[i] for i in object_ids_to_move]
         results["unshuffle/objects_to_move_accuracy"] = [
             1 if i in objects_moved else 0 for i in object_ids_to_move]
+        # per-phase exploration coverage: each phase's own map (the
+        # nav map is the FROZEN walkthrough map in two-phase mode, so
+        # counting only it would mislabel unshuffle coverage)
+        results["walkthrough/observed_cells"] = \
+            controller.observed_cell_count("semantic0")
         results["unshuffle/observed_cells"] = \
-            controller.observed_cell_count()
+            controller.observed_cell_count("semantic1")
         # per-stage wall-time observability (SURVEY.md §5.1 — absent in
         # the reference)
         results["timing"] = self.timer.summary()
@@ -436,8 +441,10 @@ class RearrangementAgent:
             taxonomy.CLASS_NAMES[i] for i in object_ids_to_move]
         results["unshuffle/objects_to_move_accuracy"] = [
             1 if i in objects_moved else 0 for i in object_ids_to_move]
+        results["walkthrough/observed_cells"] = \
+            controller.observed_cell_count("semantic0")
         results["unshuffle/observed_cells"] = \
-            controller.observed_cell_count()
+            controller.observed_cell_count("semantic1")
         results["timing"] = self.timer.summary()
 
         if cfg.logdir:

@@ -249,12 +249,16 @@ class NavigationController:
             self._nodes_cache = (key, (cells, hops))
         return (cells, hops) if with_dist else cells
 
-    def observed_cell_count(self) -> int:
-        """Number of nav-map cells with any splat — end-of-episode
+    def observed_cell_count(self, map_name: Optional[str] = None) -> int:
+        """Number of map cells with any splat — end-of-episode
         exploration coverage (comparable across matched seeds; the
-        exploration-head experiments' mechanism metric).  Rides the
-        fused max_over_depth, so no eager slab materializes."""
-        vm = self._occupancy_vm()
+        exploration-head experiments' mechanism metric).  Defaults to
+        the nav map; pass a layer name to attribute coverage per
+        phase (two-phase drivers: semantic0 = walkthrough coverage,
+        semantic1 = unshuffle coverage).  Rides the fused
+        max_over_depth, so no eager slab materializes."""
+        vm = (self._occupancy_vm() if map_name is None
+              else self.maps[map_name].voxel_map)
         return int(np.asarray(
             (vm.max_over_depth().max(-1) > 0).sum()))
 

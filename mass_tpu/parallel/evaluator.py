@@ -318,8 +318,10 @@ class _Episode:
         results["unshuffle/objects_to_move_accuracy"] = [
             1 if i in self.objects_moved else 0
             for i in self.object_ids_to_move]
+        results["walkthrough/observed_cells"] = \
+            self.controller.observed_cell_count("semantic0")
         results["unshuffle/observed_cells"] = \
-            self.controller.observed_cell_count()
+            self.controller.observed_cell_count("semantic1")
         self.results = results
         self.phase = DONE
         self.mission = None

@@ -186,7 +186,7 @@ def test_fleet_frontier_goals_match_sequential_agent(tmp_path):
 
     keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
             "unshuffle/success", "unshuffle/num_fixed",
-            "unshuffle/observed_cells")
+            "walkthrough/observed_cells", "unshuffle/observed_cells")
     for got, want, s in zip(fleet_results, seq_results, SEEDS):
         for k in keys:
             assert got[k] == want[k], (s, k, got[k], want[k])
@@ -220,7 +220,7 @@ def test_fleet_revisit_goals_match_sequential_agent(tmp_path):
 
     keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
             "unshuffle/success", "unshuffle/num_fixed",
-            "unshuffle/observed_cells")
+            "walkthrough/observed_cells", "unshuffle/observed_cells")
     for got, want, s in zip(fleet_results, seq_results, SEEDS):
         for k in keys:
             assert got[k] == want[k], (s, k, got[k], want[k])
