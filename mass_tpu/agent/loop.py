@@ -119,7 +119,15 @@ class RearrangementAgent:
         self.phase_one = [m for m in PHASE_ONE_MAPS if m in self.maps]
         self.phase_two = [m for m in PHASE_TWO_MAPS if m in self.maps]
 
+        self._policy_conditioned = False
         if policy_params is not None:
+            # checkpoints trained with `search.train --conditioned`
+            # take concat([current map, walkthrough context]) — the
+            # input width is baked into the first conv kernel
+            self._policy_conditioned = (
+                search_policy.input_channels(policy_params)
+                == 2 * taxonomy.NUM_CLASSES)
+
             @jax.jit
             def _policy_goal_cell(params, vm_data, rng_key):
                 vm = dataclasses.replace(
@@ -128,6 +136,19 @@ class RearrangementAgent:
                 return search_policy.sample_goal_cell(params, top,
                                                       rng_key)[0]
             self._policy_goal_cell = _policy_goal_cell
+
+            @jax.jit
+            def _policy_goal_cell_cond(params, vm_data, ctx_data,
+                                       rng_key):
+                base = self.maps["semantic0"].voxel_map
+                top = dataclasses.replace(
+                    base, data=vm_data).max_over_depth()
+                ctx = dataclasses.replace(
+                    base, data=ctx_data).max_over_depth()
+                x = jnp.concatenate([top, ctx], axis=-1)[None]
+                return search_policy.sample_goal_cell(params, x,
+                                                      rng_key)[0]
+            self._policy_goal_cell_cond = _policy_goal_cell_cond
         self._policy_key = jax.random.PRNGKey(self.rng.randint(1 << 30))
 
     # ------------------------------------------------------- goal heads
@@ -138,8 +159,20 @@ class RearrangementAgent:
         layer = self.maps[semantic_name]
         self._policy_key, sub = jax.random.split(self._policy_key)
         with self.timer.stage("search_policy"):
-            cell = self._policy_goal_cell(self.policy_params,
-                                          layer.voxel_map.data, sub)
+            if self._policy_conditioned:
+                # unshuffle call site: context = finished walkthrough
+                # map (what the revisit head reads sites from);
+                # walkthrough call site: zeros — no prior map exists —
+                # matching the training marginal (train --conditioned)
+                ctx = (self.maps["semantic0"].voxel_map.data
+                       if semantic_name == "semantic1"
+                       else jnp.zeros_like(layer.voxel_map.data))
+                cell = self._policy_goal_cell_cond(
+                    self.policy_params, layer.voxel_map.data, ctx, sub)
+            else:
+                cell = self._policy_goal_cell(self.policy_params,
+                                              layer.voxel_map.data,
+                                              sub)
             goal = np.asarray(layer.map_to_world(
                 cell.astype(jnp.float32)))
         return goal

@@ -20,7 +20,10 @@ they ARE), matching the two inference call sites
 
 Each task writes ``task-{id}.npz`` with float16 ``tops{0,1}``
 ``[G, H, W, C]`` and int32 ``cells{0,1}`` ``[K, 2]`` (x, y map coords);
-mass_tpu.search.train expands the G x K cross product.
+mass_tpu.search.train expands the G x K cross product.  ``tops1``
+additionally leads with the pre-goal (decision-time) snapshot, so it
+has budget+1 entries; ``tops0[-1]`` is the finished walkthrough map —
+the context channel of ``search.train --conditioned``.
 """
 
 from __future__ import annotations
@@ -72,9 +75,19 @@ def collect_task(sampler, config: AgentConfig,
         gt_unshuffle.append(current)
 
     def explore(task, budget, semantic_name, update_names,
-                gt_goals: List[np.ndarray]) -> List[np.ndarray]:
+                gt_goals: List[np.ndarray],
+                initial_snapshot: bool = False) -> List[np.ndarray]:
         tops = []
         gt_goals = list(gt_goals)
+        if initial_snapshot:
+            # decision-time state of the FIRST goal: the nearly-empty
+            # post-look_down map.  Plain policies get little from it,
+            # but the walkthrough-CONDITIONED head (train --conditioned)
+            # faces exactly this input at its first unshuffle decision,
+            # so it must appear in the training marginal.
+            tops.append(np.asarray(
+                maps[semantic_name].voxel_map.max_over_depth(),
+                np.float16))
         num_goals = 0
         while not task.is_done() and num_goals < budget:
             num_goals += 1
@@ -96,7 +109,8 @@ def collect_task(sampler, config: AgentConfig,
     controller.task = unshuffle
     unshuffle.step(unshuffle.action_names().index("look_down"))
     tops1 = explore(unshuffle, cfg.exploration_budget_two,
-                    "semantic1", ["semantic1"], gt_unshuffle)
+                    "semantic1", ["semantic1"], gt_unshuffle,
+                    initial_snapshot=True)
 
     def pack(tops):
         if not tops:

@@ -70,6 +70,16 @@ def init_params(rng: jax.Array, height: int = 384, width: int = 384,
         rng, jnp.zeros((1, height, width, channels)))
 
 
+def input_channels(params) -> int:
+    """Input-channel width the checkpoint was trained with.  The network
+    is fully convolutional, so the first conv kernel ([3, 3, C_in, h])
+    is the only place the input width is baked in; callers use this to
+    detect walkthrough-CONDITIONED checkpoints (C_in = 2 x NUM_CLASSES,
+    trained by ``search.train --conditioned``) vs plain ones
+    (C_in = NUM_CLASSES, the reference's input — agent.py:330-331)."""
+    return int(params["params"]["Conv_0"]["kernel"].shape[2])
+
+
 # ---------------------------------------------------------------------
 # reference-checkpoint import
 # ---------------------------------------------------------------------

@@ -20,6 +20,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from mass_tpu.search.policy import SearchPolicy, goal_logits
@@ -121,6 +122,85 @@ def load_dataset(logdir: str):
             np.asarray(task_ids))
 
 
+class _PlainSamples:
+    """Sample source for the reference-style single-map policy input."""
+
+    def __init__(self, tops, cells, task_ids):
+        self.cells, self.task_ids = cells, task_ids
+        self._tops = tops
+        self.shape = tops.shape[1:]
+
+    def __len__(self):
+        return len(self._tops)
+
+    def top(self, i):
+        return self._tops[i]
+
+
+class _ConditionedSamples:
+    """Walkthrough-CONDITIONED samples: the policy input is
+    ``concat([current top-down, context], channel)`` where the context
+    is the FINISHED walkthrough map for unshuffle-phase samples (the
+    map the revisit head reads its sites from, match/revisit.py) and
+    zeros for walkthrough-phase samples (no prior map exists at that
+    call site).  Snapshots and contexts are stored once and gathered
+    per batch — the G x K x 2C cross product never materializes."""
+
+    def __init__(self, snaps, ctxs, snap_idx, ctx_idx, cells, task_ids):
+        self.cells, self.task_ids = cells, task_ids
+        self._snaps, self._ctxs = snaps, ctxs
+        self._si, self._ci = snap_idx, ctx_idx
+        h, w, c = snaps.shape[1:]
+        self.shape = (h, w, 2 * c)
+        self._zero = np.zeros((h, w, c), snaps.dtype)
+
+    def __len__(self):
+        return len(self._si)
+
+    def top(self, i):
+        ctx = (self._ctxs[self._ci[i]] if self._ci[i] >= 0
+               else self._zero)
+        return np.concatenate([self._snaps[self._si[i]], ctx], axis=-1)
+
+
+def load_dataset_conditioned(logdir: str) -> _ConditionedSamples:
+    """Conditioned-policy dataset: every (snapshot, goal cell) pair of
+    ``load_dataset`` plus a per-sample context index — the task's final
+    walkthrough top-down (``tops0[-1]``) for unshuffle samples, none for
+    walkthrough samples."""
+    import glob
+    import os
+    import re
+
+    snaps, ctxs = [], []
+    snap_idx, ctx_idx, cells, task_ids = [], [], [], []
+    for path in sorted(glob.glob(os.path.join(logdir, "task-*.npz"))):
+        tid = int(re.search(r"task-(\d+)\.npz", path).group(1))
+        with np.load(path) as z:
+            t0, c0 = z["tops0"], z["cells0"]
+            t1, c1 = z["tops1"], z["cells1"]
+        ci = -1
+        if len(t0):
+            ctxs.append(t0[-1])
+            ci = len(ctxs) - 1
+        for phase_tops, phase_cells, phase_ctx in (
+                (t0, c0, -1), (t1, c1, ci)):
+            for i in range(len(phase_tops)):
+                snaps.append(phase_tops[i])
+                si = len(snaps) - 1
+                for j in range(len(phase_cells)):
+                    snap_idx.append(si)
+                    ctx_idx.append(phase_ctx)
+                    cells.append(phase_cells[j])
+                    task_ids.append(tid)
+    assert snap_idx, f"no task-*.npz files under {logdir}"
+    return _ConditionedSamples(
+        np.stack(snaps), np.stack(ctxs) if ctxs else
+        np.zeros((0,) + snaps[0].shape, snaps[0].dtype),
+        np.asarray(snap_idx), np.asarray(ctx_idx),
+        np.stack(cells).astype(np.int32), np.asarray(task_ids))
+
+
 def goal_distance(params, top_down, goal_cells) -> "jax.Array":
     """Mean L2 map-cell distance from the policy's argmax cell to the
     labeled goal — the geometric quality the NLL optimizes indirectly."""
@@ -158,7 +238,7 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
         val_fraction: float = 0.15, seed: int = 0,
         log_every: int = 50, sigma: float = 2.0,
         weight_decay: float = 1e-4, augment: bool = True,
-        data_parallel: bool = False):
+        data_parallel: bool = False, conditioned: bool = False):
     """Train the search policy on collected (top-down, goal-cell) pairs
     and save a flax checkpoint loadable by the agent CLI's
     ``--policy-checkpoint``.
@@ -172,12 +252,22 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
     mesh with replicated params — jit inserts the gradient psum
     (SURVEY.md §5.8's ICI data-parallel leg; the reference's analogue
     is detectron2's NCCL DDP, train_maskrcnn.py:133-136).  Requires
-    ``batch_size`` divisible by the device count."""
+    ``batch_size`` divisible by the device count.
+
+    ``conditioned`` trains the walkthrough-conditioned variant: the
+    input is ``concat([top-down, walkthrough context], channel)`` (2C
+    channels; agent/loop.py auto-detects the width at load time) — the
+    fix for the measured failure of the reference's policy CLASS,
+    which cannot predict occluded object sites from the current map
+    alone (docs/experiments.md, multi-room sweeps)."""
     import numpy as np
 
     from mass_tpu.utils.checkpoint import save_pytree
 
-    tops, cells, task_ids = load_dataset(data_dir)
+    source = (load_dataset_conditioned(data_dir) if conditioned
+              else _PlainSamples(*load_dataset(data_dir)))
+    task_ids = source.task_ids
+    cells = source.cells
     uniq = np.unique(task_ids)
     rng = np.random.RandomState(seed)
     rng.shuffle(uniq)
@@ -190,11 +280,12 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
     n_val = min(max(1, int(len(uniq) * val_fraction)), len(uniq) - 1)
     val_tasks = set(uniq[:n_val].tolist())
     val_mask = np.isin(task_ids, list(val_tasks))
-    tr_tops, tr_cells = tops[~val_mask], cells[~val_mask]
-    va_tops, va_cells = tops[val_mask], cells[val_mask]
-    h, w, c = tops.shape[1:]
-    print(f"dataset: {len(tr_tops)} train / {len(va_tops)} val samples "
-          f"({len(uniq)} tasks, map {h}x{w}x{c})", flush=True)
+    tr_idx = np.nonzero(~val_mask)[0]
+    va_idx = np.nonzero(val_mask)[0]
+    h, w, c = source.shape
+    print(f"dataset: {len(tr_idx)} train / {len(va_idx)} val samples "
+          f"({len(uniq)} tasks, map {h}x{w}x{c}"
+          f"{', conditioned' if conditioned else ''})", flush=True)
 
     state, tx = create_train_state(jax.random.PRNGKey(seed), h, w, c,
                                    learning_rate, weight_decay)
@@ -224,9 +315,11 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
 
     def val_metrics(params):
         nll, dist, n = 0.0, 0.0, 0
-        for i in range(0, len(va_tops), batch_size):
-            t = jnp.asarray(va_tops[i:i + batch_size], jnp.float32)
-            g = jnp.asarray(va_cells[i:i + batch_size])
+        for i0 in range(0, len(va_idx), batch_size):
+            ids = va_idx[i0:i0 + batch_size]
+            t = jnp.asarray(np.stack([source.top(i) for i in ids]),
+                            jnp.float32)
+            g = jnp.asarray(cells[ids])
             k = len(t)
             nll += float(eval_nll(params, t, g)) * k
             dist += float(eval_dist(params, t, g)) * k
@@ -235,10 +328,10 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
 
     best = (float("inf"), None)
     for step in range(steps):
-        idx = rng.randint(0, len(tr_tops), batch_size)
+        idx = tr_idx[rng.randint(0, len(tr_idx), batch_size)]
         ts, gs = [], []
         for i in idx:
-            t, g = tr_tops[i], tr_cells[i]
+            t, g = source.top(i), cells[i]
             if augment:
                 t, g = _dihedral(t, g, int(rng.randint(4)),
                                  bool(rng.randint(2)))
@@ -295,6 +388,10 @@ def main(argv=None):
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (params "
                         "replicated, grads psum'd by jit)")
+    p.add_argument("--conditioned", action="store_true",
+                   help="walkthrough-conditioned input (2x channels: "
+                        "current map + finished walkthrough map); the "
+                        "agent auto-detects such checkpoints")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -304,7 +401,8 @@ def main(argv=None):
         val_fraction=args.val_fraction, seed=args.seed,
         sigma=args.sigma, weight_decay=args.weight_decay,
         augment=not args.no_augment,
-        data_parallel=args.data_parallel)
+        data_parallel=args.data_parallel,
+        conditioned=args.conditioned)
 
 
 if __name__ == "__main__":

@@ -162,6 +162,91 @@ def test_fit_data_parallel_on_mesh(tmp_path):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_input_channels_detects_conditioned():
+    plain = pol.init_params(jax.random.PRNGKey(0), 16, 16, 54)
+    cond = pol.init_params(jax.random.PRNGKey(0), 16, 16, 108)
+    assert pol.input_channels(plain) == 54
+    assert pol.input_channels(cond) == 108
+
+
+def _write_tiny_dataset(d, n_tasks=4, c=3, g0=2, g1=2, k=2):
+    rng = np.random.RandomState(0)
+    d.mkdir(exist_ok=True)
+    for tid in range(n_tasks):
+        np.savez_compressed(
+            d / f"task-{tid}.npz",
+            tops0=rng.uniform(size=(g0, 16, 16, c)).astype(np.float16),
+            cells0=rng.randint(0, 16, (k, 2)).astype(np.int32),
+            tops1=rng.uniform(size=(g1, 16, 16, c)).astype(np.float16),
+            cells1=rng.randint(0, 16, (k, 2)).astype(np.int32))
+
+
+def test_conditioned_loader_wiring(tmp_path):
+    """Unshuffle samples must carry the task's FINAL walkthrough
+    snapshot as the context half; walkthrough samples a zero context."""
+    d = tmp_path / "data"
+    _write_tiny_dataset(d, n_tasks=2, c=3, g0=2, g1=1, k=2)
+    src = ptrain.load_dataset_conditioned(str(d))
+    # per task: (2 walkthrough + 1 unshuffle snapshots) x 2 labels
+    assert len(src) == 2 * (2 + 1) * 2
+    assert src.shape == (16, 16, 6)
+    with np.load(d / "task-0.npz") as z:
+        ctx0, t1 = z["tops0"][-1], z["tops1"][0]
+    # first four samples of task 0 are walkthrough: zero context
+    s = src.top(0)
+    assert s.shape == (16, 16, 6)
+    assert np.all(s[..., 3:] == 0)
+    # unshuffle samples (last two of task 0) carry tops0[-1]
+    s = src.top(4)
+    np.testing.assert_array_equal(s[..., :3], t1)
+    np.testing.assert_array_equal(s[..., 3:], ctx0)
+
+
+def test_fit_conditioned(tmp_path):
+    """--conditioned end to end: trains, saves, and the checkpoint's
+    first conv takes 2C input channels (the agent's auto-detect key)."""
+    d = tmp_path / "data"
+    _write_tiny_dataset(d, n_tasks=4, c=3)
+    nll, dist = ptrain.fit(str(d), str(tmp_path / "ckpt"), steps=8,
+                           batch_size=4, val_fraction=0.25,
+                           log_every=4, conditioned=True)
+    assert np.isfinite(nll) and np.isfinite(dist)
+    from mass_tpu.utils.checkpoint import load_pytree
+    params = load_pytree(str(tmp_path / "ckpt"))
+    assert pol.input_channels(params) == 6
+    logits = pol.goal_logits(params, jnp.zeros((1, 16, 16, 6)))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_agent_conditioned_policy_goal():
+    """A 108-channel checkpoint flips the agent into conditioned mode:
+    unshuffle goals run the concat head and land inside the map."""
+    from mass_tpu.agent.loop import RearrangementAgent
+    from mass_tpu.config import AgentConfig, CameraConfig, NavConfig
+
+    cam = CameraConfig(height=16, width=16)
+    cfg = AgentConfig(
+        camera=cam, map_height=32, map_width=32, map_depth=8,
+        grid_resolution=0.125,
+        nav=NavConfig(step_size=2, obstacle_padding=2,
+                      map_slice_start=0, map_slice_stop=4),
+        semantic_search_unshuffle=True)
+    params = pol.init_params(jax.random.PRNGKey(0), 32, 32, 108)
+    agent = RearrangementAgent(cfg, sampler=None, policy_params=params,
+                               rng=np.random.RandomState(0))
+    assert agent._policy_conditioned
+    goal = agent._policy_goal("semantic1")
+    assert goal.shape == (3,)
+    assert np.isfinite(goal).all()
+    # a plain 54-channel checkpoint keeps the reference head
+    plain = pol.init_params(jax.random.PRNGKey(0), 32, 32, 54)
+    agent2 = RearrangementAgent(cfg, sampler=None, policy_params=plain,
+                                rng=np.random.RandomState(0))
+    assert not agent2._policy_conditioned
+    goal2 = agent2._policy_goal("semantic0")
+    assert np.isfinite(goal2).all()
+
+
 @pytest.mark.slow
 def test_dataset_collector_custom_geometry(tmp_path):
     """The collector honors non-default map geometry (the scaling path
