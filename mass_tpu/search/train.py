@@ -164,10 +164,20 @@ class _ConditionedSamples:
 
 
 def load_dataset_conditioned(logdir: str) -> _ConditionedSamples:
-    """Conditioned-policy dataset: every (snapshot, goal cell) pair of
-    ``load_dataset`` plus a per-sample context index — the task's final
-    walkthrough top-down (``tops0[-1]``) for unshuffle samples, none for
-    walkthrough samples."""
+    """Conditioned-policy dataset: (snapshot, goal cell) pairs plus a
+    per-sample context index — the task's final walkthrough top-down
+    (``tops0[-1]``) for unshuffle samples, none for walkthrough samples.
+
+    Unshuffle-phase targets are the union of the misplaced objects'
+    WALKTHROUGH cells (``cells0``) and their current cells (``cells1``).
+    The walkthrough cells are the learnable part — they are visible in
+    the context channel, and visiting them is what makes cross-phase
+    disagreement decidable (the measured revisit-head mechanism,
+    docs/experiments.md); the current cells are only predictable when
+    the current map already shows the object, teaching the
+    detector-in-the-loop case.  Training on current cells alone would
+    chase the sampler's random respawn spots — the same unpredictable
+    target that made the reference's policy class a measured null."""
     import glob
     import os
     import re
@@ -183,8 +193,10 @@ def load_dataset_conditioned(logdir: str) -> _ConditionedSamples:
         if len(t0):
             ctxs.append(t0[-1])
             ci = len(ctxs) - 1
+        c01 = np.concatenate([c0, c1]) if len(c0) and len(c1) else \
+            (c0 if len(c0) else c1)
         for phase_tops, phase_cells, phase_ctx in (
-                (t0, c0, -1), (t1, c1, ci)):
+                (t0, c0, -1), (t1, c01, ci)):
             for i in range(len(phase_tops)):
                 snaps.append(phase_tops[i])
                 si = len(snaps) - 1

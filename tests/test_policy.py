@@ -183,23 +183,30 @@ def _write_tiny_dataset(d, n_tasks=4, c=3, g0=2, g1=2, k=2):
 
 def test_conditioned_loader_wiring(tmp_path):
     """Unshuffle samples must carry the task's FINAL walkthrough
-    snapshot as the context half; walkthrough samples a zero context."""
+    snapshot as the context half and target BOTH walkthrough and
+    current cells (the revisit mechanism's learnable signal);
+    walkthrough samples keep a zero context and cells0 targets."""
     d = tmp_path / "data"
     _write_tiny_dataset(d, n_tasks=2, c=3, g0=2, g1=1, k=2)
     src = ptrain.load_dataset_conditioned(str(d))
-    # per task: (2 walkthrough + 1 unshuffle snapshots) x 2 labels
-    assert len(src) == 2 * (2 + 1) * 2
+    # per task: 2 walkthrough snaps x 2 cells0
+    #         + 1 unshuffle snap x (2 cells0 + 2 cells1)
+    assert len(src) == 2 * (2 * 2 + 1 * 4)
     assert src.shape == (16, 16, 6)
     with np.load(d / "task-0.npz") as z:
         ctx0, t1 = z["tops0"][-1], z["tops1"][0]
+        c0, c1 = z["cells0"], z["cells1"]
     # first four samples of task 0 are walkthrough: zero context
     s = src.top(0)
     assert s.shape == (16, 16, 6)
     assert np.all(s[..., 3:] == 0)
-    # unshuffle samples (last two of task 0) carry tops0[-1]
+    # unshuffle samples (4-7 of task 0) carry tops0[-1] and the
+    # cells0-then-cells1 target union
     s = src.top(4)
     np.testing.assert_array_equal(s[..., :3], t1)
     np.testing.assert_array_equal(s[..., 3:], ctx0)
+    np.testing.assert_array_equal(src.cells[4:8],
+                                  np.concatenate([c0, c1]))
 
 
 def test_fit_conditioned(tmp_path):
