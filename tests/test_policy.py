@@ -209,6 +209,38 @@ def test_conditioned_loader_wiring(tmp_path):
                                   np.concatenate([c0, c1]))
 
 
+def test_device_dihedral_matches_host():
+    """The on-device dihedral (device-resident batch assembly) must
+    reproduce the host _dihedral for all 8 square symmetries, images
+    and goal cells alike."""
+    rng = np.random.RandomState(0)
+    top = rng.uniform(size=(10, 10, 3)).astype(np.float32)
+    cell = np.asarray([2, 7], np.int32)
+    for k in range(4):
+        for flip in (False, True):
+            want_img, want_cell = ptrain._dihedral(top, cell, k, flip)
+            got = np.asarray(ptrain._device_dihedral(
+                jnp.asarray(top), jnp.asarray(k), jnp.asarray(flip)))
+            np.testing.assert_array_equal(got, want_img)
+            np.testing.assert_array_equal(
+                ptrain._dihedral_cell(cell, k, flip, 10, 10), want_cell)
+
+
+def test_assemble_conditioned_matches_source(tmp_path):
+    """Device batch assembly == the host source's concat (identity
+    augmentation), including the zero context of walkthrough samples."""
+    d = tmp_path / "data"
+    _write_tiny_dataset(d, n_tasks=2, c=3, g0=2, g1=1, k=2)
+    src = ptrain.load_dataset_conditioned(str(d))
+    ids = np.asarray([0, 4, 9])
+    out = np.asarray(ptrain._assemble_conditioned(
+        jnp.asarray(src._snaps), jnp.asarray(src._ctxs),
+        jnp.asarray(src._si[ids]), jnp.asarray(src._ci[ids]),
+        jnp.zeros(3, jnp.int32), jnp.zeros(3, bool)))
+    want = np.stack([src.top(i) for i in ids]).astype(np.float32)
+    np.testing.assert_allclose(out, want)
+
+
 def test_fit_conditioned(tmp_path):
     """--conditioned end to end: trains, saves, and the checkpoint's
     first conv takes 2C input channels (the agent's auto-detect key)."""
