@@ -463,6 +463,27 @@ def fit(data_dir: str, out_path: str, steps: int = 600,
     # distance ~ 0.52 * map size for uniform draws on a square
     print(f"best: val NLL {vn:.3f} (uniform {np.log(h * w):.3f})  "
           f"val argmax-dist {vd:.1f} cells", flush=True)
+    if conditioned:
+        # a conditioned head is multi-modal (one input, several labeled
+        # site cells), so argmax-to-a-RANDOM-label distance above
+        # undersells it; the honest skill measure is argmax to the
+        # NEAREST of the input's label set
+        groups = {}
+        for i in va_idx:
+            groups.setdefault(int(source._si[i]), []).append(i)
+        lg_fn = jax.jit(goal_logits)
+        near = []
+        for si, idxs in sorted(groups.items()):
+            t = jnp.asarray(source.top(idxs[0])[None], jnp.float32)
+            lg = np.asarray(lg_fn(params, t))[0]
+            am = int(lg.argmax())
+            labels = cells[np.asarray(idxs)]
+            near.append(float(np.min(np.hypot(labels[:, 0] - am % w,
+                                              labels[:, 1] - am // w))))
+        near = np.asarray(near)
+        print(f"conditioned val: argmax-to-NEAREST-label mean "
+              f"{near.mean():.1f} / median {np.median(near):.1f} cells "
+              f"over {len(near)} held-out inputs", flush=True)
     save_pytree(out_path, params)
     print(f"saved policy checkpoint to {out_path}", flush=True)
     return vn, vd
