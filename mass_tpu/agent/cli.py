@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "own find() localization) — oracle-free "
                         "semantically-targeted search; frontier "
                         "fallback once all sites are visited")
+    p.add_argument("--policy-inhibition-radius", type=float, default=0.0,
+                   help="mask map cells within this radius (cells) of "
+                        "the phase's earlier policy goals before "
+                        "sampling the next one — without-replacement "
+                        "decoding for the policy head (0 = off)")
     p.add_argument("--use-feature-matching", action="store_true")
     p.add_argument("--record-found-objects", action="store_true")
     p.add_argument("--snapshot-maps", action="store_true",
@@ -214,6 +219,7 @@ def config_from_args(args) -> AgentConfig:
         semantic_search_unshuffle=args.semantic_search_unshuffle,
         frontier_exploration=args.frontier_exploration,
         revisit_exploration=args.revisit_exploration,
+        policy_inhibition_radius=args.policy_inhibition_radius,
         use_feature_matching=args.use_feature_matching,
         record_found_objects=args.record_found_objects,
         snapshot_maps=args.snapshot_maps,

@@ -149,7 +149,30 @@ class RearrangementAgent:
                 return search_policy.sample_goal_cell(params, x,
                                                       rng_key)[0]
             self._policy_goal_cell_cond = _policy_goal_cell_cond
+
+            @jax.jit
+            def _policy_logits(params, vm_data):
+                vm = dataclasses.replace(
+                    self.maps["semantic0"].voxel_map, data=vm_data)
+                return search_policy.goal_logits(
+                    params, vm.max_over_depth()[None])[0]
+            self._policy_logits = _policy_logits
+
+            @jax.jit
+            def _policy_logits_cond(params, vm_data, ctx_data):
+                base = self.maps["semantic0"].voxel_map
+                top = dataclasses.replace(
+                    base, data=vm_data).max_over_depth()
+                ctx = dataclasses.replace(
+                    base, data=ctx_data).max_over_depth()
+                x = jnp.concatenate([top, ctx], axis=-1)[None]
+                return search_policy.goal_logits(params, x)[0]
+            self._policy_logits_cond = _policy_logits_cond
         self._policy_key = jax.random.PRNGKey(self.rng.randint(1 << 30))
+        # phase-local record of policy goal cells, for
+        # --policy-inhibition-radius (without-replacement decoding)
+        self._policy_goal_cells: Dict[str, List] = {
+            "semantic0": [], "semantic1": []}
 
     # ------------------------------------------------------- goal heads
 
@@ -158,6 +181,8 @@ class RearrangementAgent:
         the z-collapsed semantic map (reference: agent.py:328-339)."""
         layer = self.maps[semantic_name]
         self._policy_key, sub = jax.random.split(self._policy_key)
+        inhibit = self.config.policy_inhibition_radius
+        ctx = None
         with self.timer.stage("search_policy"):
             if self._policy_conditioned:
                 # unshuffle call site: context = finished walkthrough
@@ -167,15 +192,56 @@ class RearrangementAgent:
                 ctx = (self.maps["semantic0"].voxel_map.data
                        if semantic_name == "semantic1"
                        else jnp.zeros_like(layer.voxel_map.data))
+            if inhibit > 0:
+                cell = self._inhibited_policy_cell(
+                    layer, semantic_name, ctx, sub)
+            elif self._policy_conditioned:
                 cell = self._policy_goal_cell_cond(
                     self.policy_params, layer.voxel_map.data, ctx, sub)
             else:
                 cell = self._policy_goal_cell(self.policy_params,
                                               layer.voxel_map.data,
                                               sub)
+            cell = np.asarray(cell)
+            self._policy_goal_cells[semantic_name].append(cell[:2])
             goal = np.asarray(layer.map_to_world(
-                cell.astype(jnp.float32)))
+                jnp.asarray(cell, jnp.float32)))
         return goal
+
+    def _inhibited_policy_cell(self, layer, semantic_name: str,
+                               ctx, rng_key) -> np.ndarray:
+        """Without-replacement policy decoding: zero out the softmax
+        within ``policy_inhibition_radius`` cells of this phase's
+        earlier policy goals, then inverse-CDF sample — an i.i.d. draw
+        re-picks the strongest heat-map mode and wastes budget slots
+        on one site (the mechanism behind the revisit head's win over
+        the plain conditioned head, docs/experiments.md)."""
+        if ctx is not None:
+            logits = self._policy_logits_cond(
+                self.policy_params, layer.voxel_map.data, ctx)
+        else:
+            logits = self._policy_logits(self.policy_params,
+                                         layer.voxel_map.data)
+        logits = np.asarray(logits, np.float64)
+        g = layer.voxel_map.geometry
+        h, w = g.map_height, g.map_width
+        p = np.exp(logits - logits.max())
+        prior = self._policy_goal_cells[semantic_name]
+        if prior:
+            xs = np.arange(w)[None, :]
+            ys = np.arange(h)[:, None]
+            r2 = self.config.policy_inhibition_radius ** 2
+            keep = np.ones((h, w), bool)
+            for c in prior:
+                keep &= ((xs - c[0]) ** 2 + (ys - c[1]) ** 2) > r2
+            masked = p * keep.ravel()
+            if masked.sum() > 0:        # never mask away ALL mass
+                p = masked
+        p /= p.sum()
+        u = float(jax.random.uniform(rng_key))
+        idx = int(np.searchsorted(np.cumsum(p), u))
+        idx = min(idx, h * w - 1)
+        return np.asarray([idx % w, idx // w, 0], np.int64)
 
     def _revisit_goal(self, controller) -> Optional[np.ndarray]:
         """Unshuffle-phase goal at an unvisited walkthrough object
@@ -300,6 +366,7 @@ class RearrangementAgent:
         self.timer = StageTimer()       # fresh per-task stage timing
         self._revisit_sites = None      # per-task revisit-head state
         self._revisit_used: set = set()
+        self._policy_goal_cells = {"semantic0": [], "semantic1": []}
         walkthrough = self.sampler.next_task()
 
         loc = walkthrough.agent_location()
@@ -413,6 +480,7 @@ class RearrangementAgent:
         the config but no agent for it; this is the missing driver)."""
         cfg = self.config
         self.timer = StageTimer()
+        self._policy_goal_cells = {"semantic0": [], "semantic1": []}
         task = self.sampler.next_task()
 
         loc = task.agent_location()

@@ -167,6 +167,14 @@ class AgentConfig:
     # visited.  Walkthrough-phase goals are unaffected (combine with
     # frontier_exploration for directed coverage there).
     revisit_exploration: bool = False
+    # inhibition-of-return for POLICY goal sampling, in map cells
+    # (0 = off): cells within this radius of the phase's earlier
+    # policy goals are masked out of the softmax before sampling, so
+    # a small exploration budget covers the heat map's distinct modes
+    # instead of re-drawing the strongest one — the decode-time
+    # analogue of the revisit head's without-replacement site walk
+    # (docs/experiments.md "Conditioned policy")
+    policy_inhibition_radius: float = 0.0
     use_feature_matching: bool = False
     record_found_objects: bool = False
     # dump end-of-episode voxel-map state per task for post-hoc

@@ -286,6 +286,37 @@ def test_agent_conditioned_policy_goal():
     assert np.isfinite(goal2).all()
 
 
+def test_policy_inhibition_radius_spreads_goals():
+    """With --policy-inhibition-radius r, consecutive policy goals in a
+    phase are guaranteed > r map cells apart (masked cells carry zero
+    probability), for both the plain and conditioned heads."""
+    from mass_tpu.agent.loop import RearrangementAgent
+    from mass_tpu.config import AgentConfig, CameraConfig, NavConfig
+
+    cam = CameraConfig(height=16, width=16)
+    for channels, name in ((54, "semantic0"), (108, "semantic1")):
+        cfg = AgentConfig(
+            camera=cam, map_height=32, map_width=32, map_depth=8,
+            grid_resolution=0.125,
+            nav=NavConfig(step_size=2, obstacle_padding=2,
+                          map_slice_start=0, map_slice_stop=4),
+            semantic_search_unshuffle=True,
+            policy_inhibition_radius=6.0)
+        params = pol.init_params(jax.random.PRNGKey(0), 32, 32,
+                                 channels)
+        agent = RearrangementAgent(cfg, sampler=None,
+                                   policy_params=params,
+                                   rng=np.random.RandomState(0))
+        for _ in range(3):
+            agent._policy_goal(name)
+        cells = np.stack(agent._policy_goal_cells[name])
+        assert len(cells) == 3
+        for i in range(len(cells)):
+            for j in range(i + 1, len(cells)):
+                d = np.hypot(*(cells[i] - cells[j]))
+                assert d > 6.0, (channels, cells)
+
+
 @pytest.mark.slow
 def test_dataset_collector_custom_geometry(tmp_path):
     """The collector honors non-default map geometry (the scaling path
