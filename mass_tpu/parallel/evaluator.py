@@ -390,6 +390,16 @@ class FleetEvaluator:
         policy = None
         if policy_params is not None:
             from mass_tpu.search import policy as search_policy
+            # the fleet policy head is the reference-style plain one;
+            # fail loudly rather than drift from the sequential driver
+            assert (search_policy.input_channels(policy_params)
+                    == taxonomy.NUM_CLASSES), (
+                "fleet mode does not serve walkthrough-CONDITIONED "
+                "policy checkpoints yet — run the sequential driver")
+            assert not config.policy_inhibition_radius, (
+                "fleet mode does not implement "
+                "--policy-inhibition-radius yet — run the sequential "
+                "driver")
             proto = self.fleet.view("semantic0", 0)
 
             @jax.jit
