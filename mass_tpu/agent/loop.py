@@ -419,6 +419,8 @@ class RearrangementAgent:
             [p[0][:2] for p in
              oracle.scene_difference_positions(unshuffle)]) \
             if cfg.record_found_objects else np.zeros((0, 2))
+        object_types = (list(oracle.scene_difference_types(unshuffle))
+                        if cfg.record_found_objects else [])
 
         # --- unshuffle exploration
         self._explore(controller, cfg.exploration_budget_two,
@@ -464,10 +466,10 @@ class RearrangementAgent:
             if cfg.record_found_objects:
                 M.write_found_objects(cfg.logdir, task_id,
                                       "walkthrough", walk_track or [],
-                                      object_positions)
+                                      object_positions, object_types)
                 M.write_found_objects(cfg.logdir, task_id, "unshuffle",
                                       unshuffle_track or [],
-                                      object_positions)
+                                      object_positions, object_types)
             if cfg.snapshot_maps:
                 M.write_map_snapshots(cfg.logdir, task_id, self.maps)
         return results
@@ -513,6 +515,8 @@ class RearrangementAgent:
         object_positions = np.asarray(
             [p[0][:2] for p in oracle.scene_difference_positions(task)]
         ) if cfg.record_found_objects else np.zeros((0, 2))
+        object_types = (list(oracle.scene_difference_types(task))
+                        if cfg.record_found_objects else [])
 
         # one exploration pass builds BOTH maps (goal maps read the
         # goal render carried in each observation)
@@ -553,7 +557,8 @@ class RearrangementAgent:
             M.write_analytics(cfg.logdir, task_id, analytics)
             if cfg.record_found_objects:
                 M.write_found_objects(cfg.logdir, task_id, "unshuffle",
-                                      track or [], object_positions)
+                                      track or [], object_positions,
+                                      object_types)
             if cfg.snapshot_maps:
                 M.write_map_snapshots(cfg.logdir, task_id, self.maps)
         return results

@@ -76,9 +76,17 @@ def write_map_snapshots(logdir: str, task_id: int, maps) -> str:
 
 def write_found_objects(logdir: str, task_id: int, phase: str,
                         agent_positions: Sequence[np.ndarray],
-                        object_positions: np.ndarray) -> Optional[str]:
+                        object_positions: np.ndarray,
+                        object_types: Optional[Sequence[str]] = None
+                        ) -> Optional[str]:
     """Agent-to-object distance matrix over time (reference:
-    agent.py:612-631)."""
+    agent.py:612-631).
+
+    ``object_types`` (class name per distance-matrix row, aligned with
+    ``object_positions``) is saved to a sibling
+    ``objects-found-{phase}-{task_id}-types.json`` so the analyzer can
+    split found-rate curves per class (``analyze found --per-class``).
+    """
     if len(agent_positions) == 0 or object_positions.size == 0:
         return None
     agent = np.stack(agent_positions, axis=0)
@@ -88,6 +96,12 @@ def write_found_objects(logdir: str, task_id: int, phase: str,
                         f"objects-found-{phase}-{task_id}.npy")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.save(path, dist)
+    if object_types is not None and len(object_types) == len(dist):
+        with open(os.path.join(
+                logdir, "results",
+                f"objects-found-{phase}-{task_id}-types.json"),
+                "w") as f:
+            json.dump(list(object_types), f)
     return path
 
 

@@ -20,7 +20,7 @@ import argparse
 import glob
 import json
 import os
-from typing import Dict, List
+from typing import Dict, List, Sequence
 
 import numpy as np
 
@@ -276,6 +276,65 @@ def found_objects_curves(logdir: str, radius: float = 1.0):
             in found_objects_stats(logdir, radius).items()}
 
 
+def found_objects_stats_by_class(logdir: str, radius: float = 1.0):
+    """Per-phase, per-CLASS found curves: ``{phase: {class: (mean,
+    sem, n_instances)}}`` — each misplaced-object instance is one row,
+    grouped by the class names in the ``objects-found-*-types.json``
+    sidecars (agent/metrics.write_found_objects).  Tasks recorded
+    before the sidecar existed are skipped."""
+    stats: Dict[str, Dict] = {}
+    for phase in ("walkthrough", "unshuffle"):
+        rows: Dict[str, List[np.ndarray]] = {}
+        for path in glob.glob(os.path.join(
+                logdir, "results", f"objects-found-{phase}-*.npy")):
+            types_path = path[:-len(".npy")] + "-types.json"
+            if not os.path.exists(types_path):
+                continue
+            with open(types_path) as f:
+                types = json.load(f)
+            dist = np.load(path)  # [objects, timesteps]
+            if len(types) != len(dist):
+                continue
+            found = np.minimum.accumulate(dist, axis=1) <= radius
+            for cls, row in zip(types, found):
+                rows.setdefault(cls, []).append(row.astype(np.float64))
+        per_class = {}
+        for cls, curves in rows.items():
+            n = max(len(c) for c in curves)
+            padded = np.stack([
+                np.pad(c, (0, n - len(c)), constant_values=c[-1])
+                for c in curves])
+            sem = (padded.std(axis=0, ddof=1) / np.sqrt(len(padded))
+                   if len(padded) > 1 else np.zeros(n))
+            per_class[cls] = (padded.mean(axis=0), sem, len(padded))
+        if per_class:
+            stats[phase] = per_class
+    return stats
+
+
+def final_found_rate_by_radius(logdir: str, radii: Sequence[float]):
+    """Final (episode-end) found rate as a function of the proximity
+    radius: ``{phase: [(radius, mean, sem, n_tasks)]}`` — the radius
+    sweep that shows whether an arm's found-rate edge is an artifact
+    of one threshold or holds across proximity scales."""
+    out: Dict[str, List] = {}
+    for phase in ("walkthrough", "unshuffle"):
+        min_dists = []  # per task: [objects] min distance over time
+        for path in glob.glob(os.path.join(
+                logdir, "results", f"objects-found-{phase}-*.npy")):
+            min_dists.append(np.load(path).min(axis=1))
+        if not min_dists:
+            continue
+        out[phase] = []
+        for r in radii:
+            rates = np.asarray([(d <= r).mean() for d in min_dists])
+            sem = (rates.std(ddof=1) / np.sqrt(len(rates))
+                   if len(rates) > 1 else 0.0)
+            out[phase].append((float(r), float(rates.mean()),
+                               float(sem), len(rates)))
+    return out
+
+
 def sweep_value(logdir: str, param: str):
     """The swept parameter's value for a logdir, read from the
     hyperparameter dump the CLI writes (``params-*.json``,
@@ -504,6 +563,13 @@ def main(argv=None):
     p.add_argument("logdirs", nargs="+")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--radius", type=float, default=1.0)
+    p.add_argument("--radii", type=str, default=None,
+                   help="found: comma-separated radius sweep (e.g. "
+                        "'0.5,1,2') — prints/plots the FINAL found "
+                        "rate vs radius instead of time curves")
+    p.add_argument("--per-class", action="store_true",
+                   help="found: split curves by object class (needs "
+                        "the objects-found-*-types.json sidecars)")
     p.add_argument("--bins", type=int, default=10,
                    help="analytics: quantile bins for fix-rate curves")
     p.add_argument("--param", type=str,
@@ -603,6 +669,90 @@ def main(argv=None):
                   f"  ties {r['ties']}  exact McNemar p = "
                   f"{r['mcnemar_p']:.4f}")
             print(f"  paired t: t = {r['t']:.3f}  p = {r['t_p']:.4g}")
+    elif args.command == "found" and args.radii:
+        # radius sweep: final found rate vs proximity radius, one line
+        # per (logdir, phase) — is the found-rate edge threshold-bound?
+        radii = [float(r) for r in args.radii.split(",")]
+        per_dir = {d: final_found_rate_by_radius(d, radii)
+                   for d in args.logdirs}
+        for d, phases in per_dir.items():
+            name = os.path.basename(d.rstrip("/"))
+            for phase, rows in phases.items():
+                for r, mean, sem, n in rows:
+                    print(f"{name} {phase} @ {r:g} m (n={n}): "
+                          f"{mean*100:.1f}% ± {sem*100:.1f}")
+        if args.out and any(per_dir.values()):
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(6.5, 4))
+            styles = {"walkthrough": "-", "unshuffle": "--"}
+            for i, (d, phases) in enumerate(per_dir.items()):
+                for phase, rows in phases.items():
+                    xs = [r for r, *_ in rows]
+                    ms = np.asarray([m for _, m, _, _ in rows]) * 100
+                    ss = np.asarray([s for _, _, s, _ in rows]) * 100
+                    label = (f"{os.path.basename(d.rstrip('/'))} "
+                             f"{phase}")
+                    ax.plot(xs, ms, styles.get(phase, "-"),
+                            color=f"C{i}", marker="o", label=label)
+                    ax.fill_between(xs, ms - ss, ms + ss,
+                                    color=f"C{i}", alpha=0.15,
+                                    linewidth=0)
+            ax.set_xlabel("proximity radius (m)")
+            ax.set_ylabel("% objects found at episode end")
+            ax.set_ylim(0, 102)
+            ax.legend(fontsize=8)
+            fig.tight_layout()
+            fig.savefig(args.out, dpi=120)
+            print(f"wrote {args.out}")
+    elif args.command == "found" and args.per_class:
+        # per-class curves: where do the heads differ — which object
+        # classes does an arm find that another misses?
+        for d in args.logdirs:
+            name = os.path.basename(d.rstrip("/"))
+            stats = found_objects_stats_by_class(d, args.radius)
+            if not stats:
+                print(f"{name}: no types sidecars — re-run with "
+                      f"--record-found-objects on the current build")
+                continue
+            for phase, per_class in stats.items():
+                order = sorted(per_class,
+                               key=lambda c: -per_class[c][0][-1])
+                for cls in order:
+                    mean, _, n = per_class[cls]
+                    print(f"{name} {phase} {cls:20s} (n={n}): "
+                          f"final {mean[-1]*100:.1f}%")
+        if args.out:
+            if len(args.logdirs) != 1:
+                raise SystemExit("--per-class plots one logdir")
+            stats = found_objects_stats_by_class(args.logdirs[0],
+                                                 args.radius)
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, axes = plt.subplots(1, max(len(stats), 1),
+                                     figsize=(6 * max(len(stats), 1),
+                                              4))
+            for ax, (phase, per_class) in zip(
+                    np.atleast_1d(axes), sorted(stats.items())):
+                for j, cls in enumerate(sorted(per_class)):
+                    mean, sem, n = per_class[cls]
+                    x = np.arange(len(mean))
+                    ax.plot(x, mean * 100, color=f"C{j % 10}",
+                            label=f"{cls} (n={n})")
+                    ax.fill_between(x, (mean - sem) * 100,
+                                    (mean + sem) * 100,
+                                    color=f"C{j % 10}", alpha=0.15,
+                                    linewidth=0)
+                ax.set_title(phase)
+                ax.set_xlabel("timestep")
+                ax.set_ylabel(f"% within {args.radius} m")
+                ax.set_ylim(0, 102)
+                ax.legend(fontsize=7)
+            fig.tight_layout()
+            fig.savefig(args.out, dpi=120)
+            print(f"wrote {args.out}")
     elif args.command == "found":
         # one logdir: phase curves; several: overlay the arms with
         # 68% CI bands — the exploration-efficiency comparison

@@ -162,6 +162,53 @@ def test_found_objects_curve(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+def test_found_objects_radius_sweep(tmp_path):
+    d = tmp_path / "results"
+    d.mkdir()
+    # object 0 min dist 0.4, object 1 min dist 0.9
+    dist = np.asarray([[3.0, 2.0, 0.5, 0.4], [5.0, 4.0, 3.0, 0.9]])
+    np.save(d / "objects-found-unshuffle-0.npy", dist)
+    np.save(d / "objects-found-unshuffle-1.npy", dist * 4)  # 1.6, 3.6
+    sweep = analyze.final_found_rate_by_radius(
+        str(tmp_path), [0.5, 1.0, 2.0])["unshuffle"]
+    rates = {r: mean for r, mean, _, n in sweep}
+    assert all(n == 2 for *_, n in sweep)
+    assert rates[0.5] == 0.25   # only task-0 object-0
+    assert rates[1.0] == 0.5    # task 0 both, task 1 none
+    assert rates[2.0] == 0.75   # + task-1 object-0 at 1.6
+    out = tmp_path / "sweep.png"
+    analyze.main(["found", str(tmp_path), "--radii", "0.5,1,2",
+                  "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_found_objects_per_class(tmp_path):
+    d = tmp_path / "results"
+    d.mkdir()
+    dist = np.asarray([[3.0, 2.0, 0.5, 0.4], [5.0, 4.0, 3.0, 0.9]])
+    np.save(d / "objects-found-unshuffle-0.npy", dist)
+    with open(d / "objects-found-unshuffle-0-types.json", "w") as f:
+        json.dump(["Mug", "Spoon"], f)
+    # a second task: one Mug never found, shorter episode (padding)
+    np.save(d / "objects-found-unshuffle-1.npy",
+            np.asarray([[9.0, 9.0, 9.0]]))
+    with open(d / "objects-found-unshuffle-1-types.json", "w") as f:
+        json.dump(["Mug"], f)
+    # a legacy task without the sidecar is skipped, not fatal
+    np.save(d / "objects-found-unshuffle-2.npy", dist)
+    stats = analyze.found_objects_stats_by_class(str(tmp_path))
+    per_class = stats["unshuffle"]
+    mug_mean, _, mug_n = per_class["Mug"]
+    spoon_mean, _, spoon_n = per_class["Spoon"]
+    assert mug_n == 2 and spoon_n == 1
+    np.testing.assert_allclose(spoon_mean, [0, 0, 0, 1.0])
+    np.testing.assert_allclose(mug_mean, [0, 0, 0.5, 0.5])
+    out = tmp_path / "classes.png"
+    analyze.main(["found", str(tmp_path), "--per-class",
+                  "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_detector_dataset(tmp_path):
     n = generate(str(tmp_path), total_tasks=1, poses_per_scene=3,
                  camera_size=32)
