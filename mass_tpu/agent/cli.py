@@ -408,6 +408,17 @@ def run_fleet(args, config, policy=None, backbone=None):
             result["task_id"] = s
             if config.logdir:
                 M.write_task_metrics(config.logdir, s, result)
+                if config.record_found_objects:
+                    ep = evaluator.episodes[ei]
+                    if not config.one_phase:
+                        M.write_found_objects(
+                            config.logdir, s, "walkthrough",
+                            ep.walk_track, ep.found_positions,
+                            ep.found_types)
+                    M.write_found_objects(
+                        config.logdir, s, "unshuffle",
+                        ep.unshuffle_track, ep.found_positions,
+                        ep.found_types)
                 if config.snapshot_maps:
                     M.write_map_snapshots(
                         config.logdir, s,

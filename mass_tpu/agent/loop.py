@@ -210,38 +210,21 @@ class RearrangementAgent:
 
     def _inhibited_policy_cell(self, layer, semantic_name: str,
                                ctx, rng_key) -> np.ndarray:
-        """Without-replacement policy decoding: zero out the softmax
-        within ``policy_inhibition_radius`` cells of this phase's
-        earlier policy goals, then inverse-CDF sample — an i.i.d. draw
-        re-picks the strongest heat-map mode and wastes budget slots
-        on one site (the mechanism behind the revisit head's win over
-        the plain conditioned head, docs/experiments.md)."""
+        """Without-replacement policy decoding — the numpy decode rule
+        lives in search/policy.inhibited_sample_cell (shared with the
+        fleet evaluator)."""
+        from mass_tpu.search import policy as search_policy
         if ctx is not None:
             logits = self._policy_logits_cond(
                 self.policy_params, layer.voxel_map.data, ctx)
         else:
             logits = self._policy_logits(self.policy_params,
                                          layer.voxel_map.data)
-        logits = np.asarray(logits, np.float64)
         g = layer.voxel_map.geometry
-        h, w = g.map_height, g.map_width
-        p = np.exp(logits - logits.max())
-        prior = self._policy_goal_cells[semantic_name]
-        if prior:
-            xs = np.arange(w)[None, :]
-            ys = np.arange(h)[:, None]
-            r2 = self.config.policy_inhibition_radius ** 2
-            keep = np.ones((h, w), bool)
-            for c in prior:
-                keep &= ((xs - c[0]) ** 2 + (ys - c[1]) ** 2) > r2
-            masked = p * keep.ravel()
-            if masked.sum() > 0:        # never mask away ALL mass
-                p = masked
-        p /= p.sum()
-        u = float(jax.random.uniform(rng_key))
-        idx = int(np.searchsorted(np.cumsum(p), u))
-        idx = min(idx, h * w - 1)
-        return np.asarray([idx % w, idx // w, 0], np.int64)
+        return search_policy.inhibited_sample_cell(
+            logits, g.map_height, g.map_width,
+            self._policy_goal_cells[semantic_name],
+            self.config.policy_inhibition_radius, rng_key)
 
     def _revisit_goal(self, controller) -> Optional[np.ndarray]:
         """Unshuffle-phase goal at an unvisited walkthrough object

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,17 @@ from mass_tpu.nav import grid as NG
 from mass_tpu.nav.controller import NavigationController
 from mass_tpu.parallel.fleet import FleetMaps
 from mass_tpu.utils.profiling import StageTimer
+
+
+class _PolicyHeads(NamedTuple):
+    """Shared jitted policy heads (one compile serves every episode):
+    the sampling heads mirror agent/loop.py's _policy_goal_cell[_cond],
+    the logits heads serve --policy-inhibition-radius decoding."""
+    conditioned: bool
+    goal_cell: object
+    goal_cell_cond: object
+    logits: object
+    logits_cond: object
 
 
 class _FleetLayerView:
@@ -101,10 +112,21 @@ class _Episode:
         self._fleet = fleet
         self._revisit_sites = None      # revisit-head per-episode state
         self._revisit_used: set = set()
-        self._policy = policy       # shared jitted goal-cell sampler
+        self._policy = policy       # shared jitted heads (_PolicyHeads)
         # same per-episode key derivation as the sequential agent
         # (agent/loop.py: PRNGKey(rng.randint(1 << 30)) at init)
         self._policy_key = jax.random.PRNGKey(rng.randint(1 << 30))
+        # phase-local policy goal cells, for --policy-inhibition-radius
+        # (mirrors agent/loop.py's _policy_goal_cells)
+        self._policy_goal_cells: Dict[str, List] = {
+            "semantic0": [], "semantic1": []}
+        # --record-found-objects state (written by the CLI's fleet
+        # driver once the batch finishes; mirrors agent/loop.py's
+        # walk/unshuffle trackers)
+        self.walk_track: List[np.ndarray] = []
+        self.unshuffle_track: List[np.ndarray] = []
+        self.found_positions = np.zeros((0, 2))
+        self.found_types: List[str] = []
 
         self.task = sampler.next_task()
         loc = self.task.agent_location()
@@ -135,6 +157,8 @@ class _Episode:
             self.object_ids_to_move = {
                 taxonomy.CLASS_NAMES.index(n)
                 for n in oracle.scene_difference_types(self.task)}
+            if config.record_found_objects:
+                self._record_found_targets(self.task)
         else:
             self.unshuffle_budget = config.exploration_budget_two
             if config.ground_truth_semantic_search:
@@ -192,12 +216,48 @@ class _Episode:
 
     def _policy_goal(self, semantic_name: str) -> np.ndarray:
         """Semantic-search goal from this episode's fleet slab
-        (mirrors agent/loop._policy_goal; reference: agent.py:328-339)."""
+        (mirrors agent/loop._policy_goal exactly, including the
+        conditioned context input and --policy-inhibition-radius
+        decoding; reference: agent.py:328-339)."""
+        from mass_tpu.search import policy as search_policy
+        heads = self._policy
+        self._policy_key, sub = jax.random.split(self._policy_key)
+        inhibit = self.config.policy_inhibition_radius
         with self.timer.stage("search_policy"):
-            self._policy_key, sub = jax.random.split(self._policy_key)
             vm = self._fleet.view(semantic_name, self.index)
-            cell = self._policy(vm.data, sub)
-            return np.asarray(vm.map_to_world(cell.astype(jnp.float32)))
+            ctx = None
+            if heads.conditioned:
+                # unshuffle call site: context = finished walkthrough
+                # slab; walkthrough call site: zeros (matches the
+                # training marginal — agent/loop.py _policy_goal)
+                ctx = (self._fleet.view("semantic0", self.index).data
+                       if semantic_name == "semantic1"
+                       else jnp.zeros_like(vm.data))
+            if inhibit > 0:
+                logits = (heads.logits_cond(vm.data, ctx)
+                          if ctx is not None else heads.logits(vm.data))
+                g = vm.geometry
+                cell = search_policy.inhibited_sample_cell(
+                    logits, g.map_height, g.map_width,
+                    self._policy_goal_cells[semantic_name], inhibit,
+                    sub)
+            elif ctx is not None:
+                cell = heads.goal_cell_cond(vm.data, ctx, sub)
+            else:
+                cell = heads.goal_cell(vm.data, sub)
+            cell = np.asarray(cell)
+            self._policy_goal_cells[semantic_name].append(cell[:2])
+            return np.asarray(vm.map_to_world(
+                jnp.asarray(cell, jnp.float32)))
+
+    def _record_found_targets(self, task) -> None:
+        """Misplaced-object positions/classes for --record-found-objects
+        (mirrors agent/loop.py run_task's object_positions/types)."""
+        pos = [p[0][:2]
+               for p in oracle.scene_difference_positions(task)]
+        self.found_positions = (np.asarray(pos) if pos
+                                else np.zeros((0, 2)))
+        self.found_types = list(oracle.scene_difference_types(task))
 
     def _enter_unshuffle(self) -> None:
         self.task = self.sampler.next_task()
@@ -206,6 +266,8 @@ class _Episode:
         self.object_ids_to_move = {
             taxonomy.CLASS_NAMES.index(n)
             for n in oracle.scene_difference_types(self.task)}
+        if self.config.record_found_objects:
+            self._record_found_targets(self.task)
         self.phase = UNSHUFFLE
         self.goals_used = 0
 
@@ -390,16 +452,13 @@ class FleetEvaluator:
         policy = None
         if policy_params is not None:
             from mass_tpu.search import policy as search_policy
-            # the fleet policy head is the reference-style plain one;
-            # fail loudly rather than drift from the sequential driver
-            assert (search_policy.input_channels(policy_params)
-                    == taxonomy.NUM_CLASSES), (
-                "fleet mode does not serve walkthrough-CONDITIONED "
-                "policy checkpoints yet — run the sequential driver")
-            assert not config.policy_inhibition_radius, (
-                "fleet mode does not implement "
-                "--policy-inhibition-radius yet — run the sequential "
-                "driver")
+            # both policy-head variants of the sequential driver
+            # (agent/loop.py): plain (current map) and walkthrough-
+            # CONDITIONED (concat([current, walkthrough context]),
+            # auto-detected from the checkpoint's input width); the
+            # logits heads serve --policy-inhibition-radius decoding
+            conditioned = (search_policy.input_channels(policy_params)
+                           == 2 * taxonomy.NUM_CLASSES)
             proto = self.fleet.view("semantic0", 0)
 
             @jax.jit
@@ -408,7 +467,35 @@ class FleetEvaluator:
                 top = vm.max_over_depth()[None]
                 return search_policy.sample_goal_cell(
                     policy_params, top, rng_key)[0]
-            policy = policy_goal_cell
+
+            @jax.jit
+            def policy_goal_cell_cond(data, ctx, rng_key):
+                top = dataclasses.replace(
+                    proto, data=data).max_over_depth()
+                c = dataclasses.replace(
+                    proto, data=ctx).max_over_depth()
+                x = jnp.concatenate([top, c], axis=-1)[None]
+                return search_policy.sample_goal_cell(
+                    policy_params, x, rng_key)[0]
+
+            @jax.jit
+            def policy_logits(data):
+                vm = dataclasses.replace(proto, data=data)
+                return search_policy.goal_logits(
+                    policy_params, vm.max_over_depth()[None])[0]
+
+            @jax.jit
+            def policy_logits_cond(data, ctx):
+                top = dataclasses.replace(
+                    proto, data=data).max_over_depth()
+                c = dataclasses.replace(
+                    proto, data=ctx).max_over_depth()
+                x = jnp.concatenate([top, c], axis=-1)[None]
+                return search_policy.goal_logits(policy_params, x)[0]
+
+            policy = _PolicyHeads(conditioned, policy_goal_cell,
+                                  policy_goal_cell_cond, policy_logits,
+                                  policy_logits_cond)
 
         seeds = seeds or list(range(B))
         self.episodes = [
@@ -604,9 +691,17 @@ class FleetEvaluator:
                         o["gt_semantic"] = o["semantic"]
                     o["semantic"] = sem_batch[ep.index]
 
+        record_found = self.config.record_found_objects
         for ep in live:
             o = obs[ep.index]
             positions[ep.index] = o["position"]
+            if record_found:
+                # one tick == one step of each live episode (mirrors
+                # agent/loop.py's per-step [loc.x, loc.z] trackers;
+                # rearrangement steps join the unshuffle track)
+                track = (ep.walk_track if ep.phase == WALK
+                         else ep.unshuffle_track)
+                track.append(np.asarray(o["position"][:2], np.float64))
             yaws[ep.index] = o["yaw"]
             elevations[ep.index] = o["elevation"]
             depths[ep.index] = np.asarray(o["depth"], np.float32)

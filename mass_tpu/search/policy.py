@@ -64,6 +64,40 @@ def sample_goal_cell(params, top_down: jax.Array,
     return jnp.stack([x, y, jnp.zeros_like(idx)], axis=-1)
 
 
+def inhibited_sample_cell(logits, height: int, width: int,
+                          prior_cells, radius: float, rng_key):
+    """Without-replacement policy decoding (host-side numpy): zero out
+    the softmax within ``radius`` map cells of ``prior_cells`` (this
+    phase's earlier policy goals), then inverse-CDF sample — an i.i.d.
+    draw re-picks the strongest heat-map mode and wastes budget slots
+    on one site (the mechanism behind the revisit head's win over the
+    plain conditioned head, docs/experiments.md).  Shared by the
+    sequential (agent/loop.py) and fleet (parallel/evaluator.py)
+    drivers so their decode math cannot drift.
+
+    Returns ``[x, y, 0]`` map-cell coordinates (int64).
+    """
+    import numpy as np
+
+    logits = np.asarray(logits, np.float64)
+    p = np.exp(logits - logits.max())
+    if prior_cells:
+        xs = np.arange(width)[None, :]
+        ys = np.arange(height)[:, None]
+        r2 = radius ** 2
+        keep = np.ones((height, width), bool)
+        for c in prior_cells:
+            keep &= ((xs - c[0]) ** 2 + (ys - c[1]) ** 2) > r2
+        masked = p * keep.ravel()
+        if masked.sum() > 0:        # never mask away ALL mass
+            p = masked
+    p /= p.sum()
+    u = float(jax.random.uniform(rng_key))
+    idx = int(np.searchsorted(np.cumsum(p), u))
+    idx = min(idx, height * width - 1)
+    return np.asarray([idx % width, idx // width, 0], np.int64)
+
+
 def init_params(rng: jax.Array, height: int = 384, width: int = 384,
                 channels: int = NUM_CLASSES):
     return SearchPolicy().init(

@@ -270,6 +270,97 @@ def test_fleet_one_phase_matches_sequential_agent(tmp_path):
                     for r in fleet_results]) > 0
 
 
+@pytest.mark.slow
+def test_fleet_conditioned_inhibited_policy_matches_sequential(
+        tmp_path):
+    """The headline learned-head configuration — walkthrough-
+    CONDITIONED checkpoint (108-channel input, auto-detected) with
+    --policy-inhibition-radius decoding — must reproduce the
+    sequential agent's episodes on matched seeds through the fleet
+    (previously asserted out of the fleet path)."""
+    import dataclasses
+    import jax
+    from mass_tpu.search import policy as pol
+
+    cfg = dataclasses.replace(
+        _config(tmp_path), ground_truth_semantic_search=False,
+        semantic_search_walkthrough=True,
+        semantic_search_unshuffle=True,
+        policy_inhibition_radius=4.0)
+    params = pol.init_params(jax.random.PRNGKey(3), cfg.map_height,
+                             cfg.map_width, 2 * 54)
+    assert pol.input_channels(params) == 108
+
+    fleet = FleetEvaluator(cfg, [_sampler(s) for s in SEEDS],
+                           seeds=[100 + s for s in SEEDS],
+                           policy_params=params)
+    fleet_results = fleet.run()
+
+    from mass_tpu.agent.loop import RearrangementAgent
+    seq_results = []
+    for s in SEEDS:
+        agent = RearrangementAgent(
+            cfg, _sampler(s), policy_params=params,
+            rng=np.random.RandomState(100 + s))
+        seq_results.append(agent.run_task(0))
+
+    keys = ("unshuffle/prop_fixed", "unshuffle/prop_fixed_strict",
+            "unshuffle/success", "unshuffle/num_fixed")
+    for got, want, s in zip(fleet_results, seq_results, SEEDS):
+        for k in keys:
+            assert got[k] == want[k], (s, k, got[k], want[k])
+        assert got["unshuffle/objects_moved"] == \
+            want["unshuffle/objects_moved"], s
+
+
+@pytest.mark.slow
+def test_fleet_records_found_objects(tmp_path):
+    """--record-found-objects through the fleet driver: per-task
+    distance matrices + class-name sidecars land in the logdir with
+    one row per misplaced object, and the distances are consistent
+    with the misplaced-object positions (the agent never teleports, so
+    per-step distance deltas are bounded by the move magnitude)."""
+    import dataclasses
+    import json as _json
+    from mass_tpu.agent.cli import main as cli_main
+
+    logdir = str(tmp_path / "fleet-found")
+    cli_main(["--backend", "gridworld", "--platform", "cpu",
+              "--logdir", logdir, "--total-tasks", "2",
+              "--fleet-size", "2", "--num-objects", "2",
+              "--num-misplaced", "1", "--num-opened", "0",
+              "--map-height", "80", "--map-width", "80",
+              "--map-depth", "24", "--grid-resolution", "0.125",
+              "--camera-size", "48", "--step-size", "2",
+              "--obstacle-padding", "2", "--map-slice-start", "0",
+              "--map-slice-stop", "12",
+              "--ground-truth-segmentation",
+              "--ground-truth-disagreement",
+              "--exploration-budget-one", "1",
+              "--exploration-budget-two", "1",
+              "--max-goal-steps", "20", "--start-task", "2",
+              "--record-found-objects"])
+    import glob as _glob
+    import os as _os
+    for task in (2, 3):
+        for phase in ("walkthrough", "unshuffle"):
+            npy = _os.path.join(logdir, "results",
+                                f"objects-found-{phase}-{task}.npy")
+            assert _os.path.exists(npy), npy
+            dist = np.load(npy)
+            assert dist.shape[0] == 1 and dist.shape[1] > 1
+            assert (dist >= 0).all() and np.isfinite(dist).all()
+            # consecutive-step deltas bounded by one move (0.25 m)
+            assert np.abs(np.diff(dist, axis=1)).max() < 0.26
+            with open(npy[:-len(".npy")] + "-types.json") as f:
+                types = _json.load(f)
+            assert len(types) == 1 and isinstance(types[0], str)
+    # the analyzer consumes the fleet recordings directly
+    from mass_tpu.tools import analyze
+    stats = analyze.found_objects_stats_by_class(logdir)
+    assert "unshuffle" in stats and stats["unshuffle"]
+
+
 def _stub_detector():
     """Deterministic shape-static SegmentationModel stand-in: 6
     horizontal-band 'instances' gated by frame brightness."""
