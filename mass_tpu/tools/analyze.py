@@ -33,6 +33,12 @@ def load_results(logdir: str) -> List[Dict]:
     out = []
     for path in sorted(glob.glob(
             os.path.join(logdir, "results", "*.json"))):
+        # per-task records are <task>.json; the found-objects recorder
+        # also drops objects-found-<phase>-<task>-types.json (a LIST of
+        # class names, feb2c3e) into the same directory — skip anything
+        # that is not a numeric task id
+        if not os.path.splitext(os.path.basename(path))[0].isdigit():
+            continue
         with open(path) as f:
             rec = json.load(f)
         rec["_logdir"] = os.path.basename(os.path.normpath(logdir))

@@ -285,6 +285,15 @@ def test_paired_compare(tmp_path):
     with open(os.path.join(a, "results", "99.json"), "w") as f:
         json.dump(rec(1.0), f)
 
+    # the found-objects recorder drops non-task JSONs (a bare LIST of
+    # class names) into results/ — load_results must skip them
+    # (regression: this broke every analyze subcommand on logdirs run
+    # with --record-found-objects)
+    with open(os.path.join(a, "results",
+                           "objects-found-unshuffle-0-types.json"),
+              "w") as f:
+        json.dump(["Mug", "Laptop"], f)
+
     out = analyze.paired_compare(a, b)
     assert out["n"] == 8                    # 99 unmatched -> excluded
     assert out["wins"] == 5 and out["losses"] == 1 and out["ties"] == 2
