@@ -39,6 +39,17 @@ if PRECISION not in ("default", "highest"):
 # timed repeats; the reported value is their median (one rep is
 # exposed to tunnel noise — BENCH_r03 lost 30% to a single sample)
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+# Pinned idle-box torch-CPU baseline (frames/sec) for the headline
+# ratio.  The live-measured baseline swings >2x with host load (2.19
+# fps idle -> ~1.0 fps sharing the 1-core box with an episode sweep,
+# docs/performance.md "Remaining headroom"), which made vs_baseline
+# box-state-dependent across driver rounds (BENCH_r04 recorded 179.9x
+# while the idle-box ratio is ~95-119x).  2.19 is the best idle-box
+# measurement of benchmarks/torch_baseline.py at this exact geometry
+# (1-core host, round 4) — the CONSERVATIVE pin: a loaded box can only
+# make the reference look slower, never faster.  The live measurement
+# still ships in the JSON as vs_baseline_live / baseline_fps.
+BASELINE_IDLE_FPS = 2.19
 
 
 def measure_tpu():
@@ -205,7 +216,16 @@ def main():
                   "(224x224 RGB-D -> 384x384x96x54)",
         "value": round(tpu_fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        # headline ratio uses the PINNED idle-box baseline so it is
+        # reproducible across driver runs regardless of what else the
+        # box is doing that minute; the live torch measurement and the
+        # host context ship alongside for auditability
+        "vs_baseline": round(tpu_fps / BASELINE_IDLE_FPS, 2),
+        "vs_baseline_live": round(tpu_fps / cpu_fps, 2),
+        "baseline_fps": round(cpu_fps, 3),
+        "baseline_idle_fps": BASELINE_IDLE_FPS,
+        "host": {"cpu_count": os.cpu_count(),
+                 "load_1m": round(os.getloadavg()[0], 2)},
         "platform": platform,
         # default vs highest differ 1.65x on chip — a record without
         # the mode is ambiguous (docs/performance.md)

@@ -30,18 +30,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mass_tpu.config import MapGeometry
 from mass_tpu.core import geometry as G
-from mass_tpu.core.voxelmap import VoxelMap
-from mass_tpu.ops.scatter import apply_dense_rows, corner_contributions
+from mass_tpu.core.voxelmap import VoxelMap, resolved_layout
+from mass_tpu.ops.scatter import (apply_dense_rows, apply_onehot_cmajor,
+                                  corner_contributions)
 
 
 def shard_voxelmap(vm: VoxelMap, mesh: Mesh,
                    axis: str = "map") -> VoxelMap:
-    """Place a vmajor VoxelMap with data row-sharded over ``axis`` and
-    bins replicated."""
-    assert vm.layout == "vmajor", (
-        "sharded maps use vmajor storage; create with "
-        "MapGeometry(layout='vmajor')")
-    data_sh = NamedSharding(mesh, P(axis, None))
+    """Place a VoxelMap with data row-sharded over ``axis`` and bins
+    replicated.  vmajor ``[V, F]`` shards its leading (voxel) axis;
+    cmajor ``[Fpad, V]`` shards its trailing (voxel) axis — both
+    partition the map by voxel id, so the per-device update body only
+    differs in storage orientation."""
+    if vm.layout == "vmajor":
+        data_sh = NamedSharding(mesh, P(axis, None))
+    else:
+        data_sh = NamedSharding(mesh, P(None, axis))
     rep = NamedSharding(mesh, P())
     return VoxelMap(
         data=jax.device_put(vm.data, data_sh),
@@ -82,6 +86,36 @@ def _slab_update(data_slab, bins_x, bins_y, bins_z, rays, position, yaw,
                             g.interpolation_weight)
 
 
+def _cmajor_slab_update(data_slab, bins_x, bins_y, bins_z, rays,
+                        position, yaw, elevation, depth, classes, *,
+                        geometry: MapGeometry, axis: str,
+                        min_ray_depth: float, max_ray_depth: float):
+    """Per-device body for the PRODUCTION channel-major layout: update
+    one ``[Fpad, V/n]`` column slab from a replicated frame via the
+    cmajor XLA fallback (ops/scatter.apply_onehot_cmajor).  Same
+    self-routing as the vmajor body: global corner ids re-base into the
+    local column range, out-of-slab corners mask to the discard slot
+    (``apply_onehot_cmajor`` drops ids >= V/n)."""
+    g = geometry
+    h, w = rays.shape[0], rays.shape[1]
+    cls = G.upsample_features(classes[..., None], h, w)[..., 0]
+    oriented = G.orient_rays(rays, yaw, elevation)
+    points = G.bin_rays(bins_x, bins_y, bins_z, position, oriented,
+                        depth, min_ray_depth=min_ray_depth,
+                        max_ray_depth=max_ray_depth)
+    ids, weights = corner_contributions(
+        points, (g.map_height, g.map_width, g.map_depth))
+
+    slab_voxels = data_slab.shape[1]
+    lo = jax.lax.axis_index(axis) * slab_voxels
+    local = ids - lo
+    local = jnp.where((local >= 0) & (local < slab_voxels),
+                      local, slab_voxels)
+    return apply_onehot_cmajor(data_slab, local, weights,
+                               cls.reshape(-1),
+                               g.interpolation_weight)
+
+
 def sharded_update_fn(mesh: Mesh, geometry: MapGeometry,
                       axis: str = "map", onehot: bool = False,
                       min_ray_depth: float = 0.0,
@@ -93,15 +127,28 @@ def sharded_update_fn(mesh: Mesh, geometry: MapGeometry,
     occupancy/semantic path) else an ``[h, w, F]`` feature image.  Other
     mesh axes (e.g. ``data``) stay free for vmapped episode batches
     around this function.
+
+    cmajor geometries shard the ``[Fpad, V]`` slab over COLUMNS (voxel
+    ids) with the same replicated-frame self-routing — the production
+    TPU layout is shard-testable without a layout switch (one-hot path
+    only; dense feature maps use vmajor when sharded).
     """
-    body = functools.partial(
-        _slab_update, geometry=geometry, axis=axis, onehot=onehot,
-        min_ray_depth=min_ray_depth, max_ray_depth=max_ray_depth)
+    if resolved_layout(geometry) == "cmajor":
+        assert onehot, "sharded cmajor supports the one-hot path only"
+        body = functools.partial(
+            _cmajor_slab_update, geometry=geometry, axis=axis,
+            min_ray_depth=min_ray_depth, max_ray_depth=max_ray_depth)
+        data_spec = P(None, axis)
+    else:
+        body = functools.partial(
+            _slab_update, geometry=geometry, axis=axis, onehot=onehot,
+            min_ray_depth=min_ray_depth, max_ray_depth=max_ray_depth)
+        data_spec = P(axis, None)
 
     sm = shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis, None),) + (P(),) * 9,
-        out_specs=P(axis, None),
+        in_specs=(data_spec,) + (P(),) * 9,
+        out_specs=data_spec,
         check_vma=False)
 
     @jax.jit

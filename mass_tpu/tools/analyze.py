@@ -29,15 +29,22 @@ PRIMARY_METRICS = ["unshuffle/prop_fixed_strict", "unshuffle/success",
                    "unshuffle/num_newly_misplaced"]
 
 
+def is_task_result(path: str) -> bool:
+    """True for per-task result records (``<task>.json``, task ids are
+    digits or dash-joined digit groups).  The found-objects recorder
+    drops ``objects-found-<phase>-<task>-types.json`` sidecars into the
+    same ``results/`` directory, and ad-hoc files can land there too —
+    every loader (here and tools/submission.py) must use THIS predicate
+    so non-task files are skipped consistently."""
+    name = os.path.splitext(os.path.basename(path))[0]
+    return all(p.isdigit() for p in name.split("-"))
+
+
 def load_results(logdir: str) -> List[Dict]:
     out = []
     for path in sorted(glob.glob(
             os.path.join(logdir, "results", "*.json"))):
-        # per-task records are <task>.json; the found-objects recorder
-        # also drops objects-found-<phase>-<task>-types.json (a LIST of
-        # class names, feb2c3e) into the same directory — skip anything
-        # that is not a numeric task id
-        if not os.path.splitext(os.path.basename(path))[0].isdigit():
+        if not is_task_result(path):
             continue
         with open(path) as f:
             rec = json.load(f)

@@ -17,6 +17,8 @@ import gzip
 import json
 import os
 
+from mass_tpu.tools import analyze
+
 MAX_WALKTHROUGH_ACTIONS = 250
 
 
@@ -26,7 +28,9 @@ def collect(logdirs):
         for path in sorted(glob.glob(
                 os.path.join(logdir, "results", "*.json"))):
             name = os.path.splitext(os.path.basename(path))[0]
-            if not name.replace("-", "").isdigit():
+            # shared predicate with tools/analyze.load_results so the
+            # two loaders can never skip results/ files inconsistently
+            if not analyze.is_task_result(path):
                 continue
             with open(path) as f:
                 record = json.load(f)
