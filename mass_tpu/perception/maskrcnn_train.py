@@ -349,7 +349,8 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
           seed: int = 0, image_size: int = 224, num_classes: int = 53,
           config: M.MaskRCNNConfig = None,
           tcfg: TrainConfig = TrainConfig(), resume: bool = False,
-          augment: bool = False, eval_every: int = 0):
+          augment: bool = False, eval_every: int = 0,
+          init_checkpoint: str = None):
     """Fine-tune/ train the detector on the generated dataset.
 
     ``num_classes`` defaults to the dataset convention (taxonomy minus
@@ -359,7 +360,21 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
     ``augment`` enables random horizontal flips (detectron2's default
     RandomFlip); ``eval_every`` > 0 scores fused-mask validation mIoU
     every N epochs and keeps the BEST checkpoint at
-    ``{logdir}/maskrcnn`` rather than the last."""
+    ``{logdir}/maskrcnn`` rather than the last.
+
+    Two distinct warm-start routes (VERDICT r4 item 8):
+
+    - ``init_checkpoint``: load WEIGHTS from another run's orbax dir,
+      fresh optimizer + schedule — the fine-tune route (the
+      reference's COCO-pretrained -> THOR fine-tune,
+      train_maskrcnn.py:72-99, with a prior run standing in for the
+      COCO zoo since no external weights exist in this image).
+    - ``resume``: continue THIS logdir's run — weights AND optimizer
+      state (momentum trace + schedule step) restore from
+      ``{logdir}/maskrcnn`` / ``{logdir}/maskrcnn-opt``, so training
+      picks up at the saved LR-schedule position instead of
+      restarting the decay (tests/test_maskrcnn_train.py pins this).
+    """
     if config is None:
         config = M.MaskRCNNConfig(num_classes=num_classes,
                                   image_size=image_size)
@@ -375,6 +390,10 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
     variables = model.init(
         jax.random.PRNGKey(seed),
         jnp.zeros((1, config.image_size, config.image_size, 3)))
+    if init_checkpoint:
+        # fine-tune: pretrained weights, fresh optimizer/schedule
+        from mass_tpu.utils.checkpoint import load_pytree
+        variables = load_pytree(init_checkpoint, variables)
     if resume and logdir and os.path.exists(
             os.path.join(logdir, "maskrcnn")):
         from mass_tpu.utils.checkpoint import load_pytree
@@ -391,6 +410,19 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.sgd(schedule, momentum=0.9))
     opt_state = tx.init(variables["params"])
+    if resume and logdir and os.path.exists(
+            os.path.join(logdir, "maskrcnn-opt")):
+        # optimizer-state restore: the momentum trace AND the
+        # schedule's step count come back, so a resumed run continues
+        # at the saved LR position (not a restarted decay)
+        from mass_tpu.utils.checkpoint import load_pytree
+        opt_state = load_pytree(os.path.join(logdir, "maskrcnn-opt"),
+                                opt_state)
+    # orbax-restored pytrees come back COMMITTED to one device (both
+    # the restored opt state and a tx.init built from init_checkpoint
+    # weights); replicate over the mesh or the jitted step rejects the
+    # placement mismatch with the replicated params
+    opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
     run = make_train_step(model, tx, tcfg, mesh)
 
     try:
@@ -399,10 +431,11 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
     except FileNotFoundError:
         val_images = val_sem = None
 
-    def save(vs):
+    def save(vs, opt):
         os.makedirs(logdir, exist_ok=True)
         from mass_tpu.utils.checkpoint import save_pytree
         save_pytree(os.path.join(logdir, "maskrcnn"), vs)
+        save_pytree(os.path.join(logdir, "maskrcnn-opt"), opt)
 
     rng = np.random.RandomState(seed)
     key = jax.random.PRNGKey(seed)
@@ -432,7 +465,7 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
                         val_pixel_accuracy=metrics["pixel_accuracy"])
             if logdir and metrics["miou"] > best_miou:
                 best_miou = metrics["miou"]
-                save(variables)
+                save(variables, opt_state)
         history.append(mean)
         print(mean)
         if logdir:
@@ -453,7 +486,7 @@ def train(dataset_dir: str, logdir: str, epochs: int = 1,
 
     if logdir:
         if not (eval_every and best_miou >= 0):
-            save(variables)
+            save(variables, opt_state)
         with open(os.path.join(logdir, "history.json"), "w") as f:
             json.dump(history, f, indent=2)
     return variables, history
@@ -469,7 +502,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=53)
-    p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue this logdir's run: weights AND "
+                        "optimizer state (momentum, LR-schedule step) "
+                        "restore from {logdir}/maskrcnn[-opt]")
+    p.add_argument("--init-checkpoint", type=str, default=None,
+                   help="fine-tune route: initialize WEIGHTS from "
+                        "another run's orbax dir (fresh optimizer/"
+                        "schedule) — the reference's COCO-pretrained "
+                        "-> THOR fine-tune (train_maskrcnn.py:72-99)")
     p.add_argument("--augment", action="store_true",
                    help="random horizontal flips (detectron2 "
                         "RandomFlip default)")
@@ -508,7 +549,8 @@ def main(argv=None):
     train(args.dataset, args.logdir, args.epochs, args.batch_size,
           args.learning_rate, args.seed, args.image_size,
           args.num_classes, resume=args.resume, augment=args.augment,
-          eval_every=args.eval_every)
+          eval_every=args.eval_every,
+          init_checkpoint=args.init_checkpoint)
 
 
 if __name__ == "__main__":

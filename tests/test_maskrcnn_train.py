@@ -124,6 +124,101 @@ def test_loss_decreases_on_fixed_batch(trainer):
     assert total < first, (first, total)
 
 
+def _write_dataset(path, n_images, seed, shift=0):
+    """Tiny on-disk instance dataset in the trainer's format (training
+    split only, so validation scoring is skipped).  ``shift`` offsets
+    rectangle placement — the 'perturbed split' of the fine-tune
+    scenario."""
+    import json
+    import os
+    from mass_tpu.tools.detector_dataset import record_from_frame
+    rng = np.random.RandomState(seed)
+    records = []
+    for i in range(n_images):
+        rgb = np.full((IMG, IMG, 3), 0.1, np.float32)
+        sem = np.zeros((IMG, IMG), np.int32)
+        for cls in (1, 2):
+            w, h = rng.randint(14, 20, 2)
+            x = (rng.randint(2, IMG - w - 2) + shift) % (IMG - w - 2)
+            y = rng.randint(2, IMG - h - 2)
+            rgb[y:y + h, x:x + w, cls - 1] = 0.9
+            sem[y:y + h, x:x + w] = cls
+        records.append(record_from_frame(rgb, sem, i, str(path)))
+    with open(os.path.join(str(path), "training.json"), "w") as f:
+        json.dump(records, f)
+    return str(path)
+
+
+def _schedule_count(opt_state):
+    leaves = [l for l in jax.tree_util.tree_leaves(opt_state)
+              if hasattr(l, "dtype") and l.dtype == jnp.int32
+              and np.ndim(l) == 0]
+    assert leaves, "no schedule count leaf in opt state"
+    return int(leaves[0])
+
+
+@pytest.mark.slow
+def test_resume_restores_optimizer_and_finetune_inits_weights(tmp_path):
+    """The two warm-start routes end to end (VERDICT r4 item 8):
+    --resume continues the optimizer (momentum + LR-schedule step, so
+    the decay does NOT restart), --init-checkpoint fine-tunes another
+    run's weights with a fresh optimizer (the COCO->THOR route,
+    reference train_maskrcnn.py:72-99, a prior run standing in for the
+    COCO zoo)."""
+    import optax as ox
+    from mass_tpu.utils.checkpoint import load_pytree
+
+    ds = _write_dataset(tmp_path / "ds", 6, seed=0)
+    run1 = str(tmp_path / "run1")
+    v1, h1 = T.train(ds, run1, epochs=2, batch_size=2,
+                     learning_rate=0.02, seed=0, config=CFG, tcfg=TCFG)
+    # 6 images / batch 2 = 3 steps/epoch, 2 epochs = 6 steps recorded
+    # in the saved schedule count
+    model = M.MaskRCNN(CFG)
+    # template with a CALLABLE lr: the trainer's sgd(schedule) carries
+    # a schedule-count state that a float lr would not
+    tx = ox.chain(ox.clip_by_global_norm(10.0),
+                  ox.sgd(ox.constant_schedule(0.02), momentum=0.9))
+    template = tx.init(v1["params"])
+    saved = load_pytree(f"{run1}/maskrcnn-opt", template)
+    assert _schedule_count(saved) == 6
+
+    # resume: 2 more epochs pick up at step 6, not step 0
+    v2, h2 = T.train(ds, run1, epochs=2, batch_size=2,
+                     learning_rate=0.02, seed=1, config=CFG, tcfg=TCFG,
+                     resume=True)
+    resumed = load_pytree(f"{run1}/maskrcnn-opt", template)
+    assert _schedule_count(resumed) == 12, (
+        "resume restarted the optimizer instead of restoring its state")
+    # loss CONTINUES from the trained level instead of restarting at
+    # the from-scratch level
+    assert h2[0]["total"] < h1[0]["total"], (h1[0], h2[0])
+
+    # fine-tune route on a perturbed split: the init REALLY is run1's
+    # checkpoint (epochs=0 returns the initialized state untouched —
+    # deterministic, unlike a did-warm-start-help loss comparison on a
+    # 6-image toy dataset), and a training epoch from it runs to
+    # finite losses
+    ds2 = _write_dataset(tmp_path / "ds2", 6, seed=3, shift=17)
+    v_init, _ = T.train(ds2, None, epochs=0, batch_size=2,
+                        learning_rate=0.02, seed=7, config=CFG,
+                        tcfg=TCFG, init_checkpoint=f"{run1}/maskrcnn")
+    # v2 is what run1's logdir checkpoint holds after the resumed run;
+    # compare against a fresh load of that checkpoint
+    ckpt = load_pytree(f"{run1}/maskrcnn",
+                       M.MaskRCNN(CFG).init(
+                           jax.random.PRNGKey(7),
+                           jnp.zeros((1, IMG, IMG, 3))))
+    for a, b in zip(jax.tree_util.tree_leaves(v_init["params"]),
+                    jax.tree_util.tree_leaves(ckpt["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _, h_ft = T.train(ds2, str(tmp_path / "ft"), epochs=1,
+                      batch_size=2, learning_rate=0.02, seed=0,
+                      config=CFG, tcfg=TCFG,
+                      init_checkpoint=f"{run1}/maskrcnn")
+    assert np.isfinite(h_ft[0]["total"])
+
+
 def test_dataset_rasterization_roundtrip(tmp_path):
     """record_from_frame -> rasterize_record reproduces boxes, classes
     and (approximately) masks."""
