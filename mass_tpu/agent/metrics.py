@@ -95,7 +95,11 @@ def write_found_objects(logdir: str, task_id: int, phase: str,
     path = os.path.join(logdir, "results",
                         f"objects-found-{phase}-{task_id}.npy")
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.save(path, dist)
+    # traces are COMMITTED per protocol (experiments/mr22/run_arm.sh)
+    # and compound across arms/reruns — store f32: metre-scale
+    # distances lose nothing against the 0.25-2 m found-radius
+    # thresholds, at half the repo growth (advisor r4)
+    np.save(path, dist.astype(np.float32))
     if object_types is not None and len(object_types) == len(dist):
         with open(os.path.join(
                 logdir, "results",

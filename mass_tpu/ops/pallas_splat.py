@@ -64,7 +64,10 @@ assert SPAN % 256 == 0 and SPAN >= 256, f"MASS_SPLAT_SPAN: {SPAN}"
 # MASS_SPLAT_DIAG=stub_onehot replaces the [SUB, SPAN] one-hot compare
 # with a broadcast (WRONG numerics, identical shapes/matmuls) purely to
 # bound the VPU one-hot-construction share of kernel time on chip.
-# Never set outside perf diagnostics.
+# Never set outside perf diagnostics.  MEASURED (round 5, idle-box
+# interleaved A/B): 201.5 vs 227.1 fps end-to-end — the one-hot build
+# is ~13% of kernel time, so the per-class-accumulation rewrite is not
+# worth it and the kernel is closed (docs/performance.md).
 DIAG = _os.environ.get("MASS_SPLAT_DIAG", "")
 
 
